@@ -1,0 +1,146 @@
+"""Streaming M4A decoder facade.
+
+Parity with reference decode.go:32-190: a file-like reader over decoded PCM
+with O(1) packet-aligned Seek, Duration/Position arithmetic, and per-packet
+on-demand decode.  TPU twist: instead of decoding one packet per Read, the
+facade prefetches a window of packets and decodes them as one device batch,
+amortizing dispatch across the embarrassingly parallel packet axis
+(SURVEY §2.3: packets are fully independent).
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO
+
+from .config import PacketConfig, parse_magic_cookie
+from .decoder import BatchDecoder, PacketDecoder
+from .formats import PCMFormat, bytes_per_sample
+from .mp4 import SampleInfo, find_alac_track
+
+
+class Decoder:
+    """Streams decoded PCM from an ALAC M4A/MP4 source.
+
+    The container (sample table, config) is parsed upfront; PCM is decoded in
+    packet batches on demand via :meth:`read`.
+    """
+
+    def __init__(
+        self,
+        reader: BinaryIO,
+        backend: str = "scalar",
+        batch_size: int = 64,
+    ):
+        cookie, samples = find_alac_track(reader)
+        config = parse_magic_cookie(cookie)
+
+        self._reader = reader
+        self.config = config
+        self._samples: list[SampleInfo] = samples
+        self._sample_idx = 0
+        self._buf = b""
+        self._buf_off = 0
+        self._eof = False
+        self._batch_size = max(1, batch_size)
+
+        if backend == "scalar" or self._batch_size == 1:
+            self._packet_dec = PacketDecoder(config)
+            self._batch_dec = None
+        else:
+            self._packet_dec = None
+            self._batch_dec = BatchDecoder(config, backend=backend)
+
+    # --- Format / timing (decode.go:78-97) ---
+
+    def format(self) -> PCMFormat:
+        return PCMFormat(
+            sample_rate=self.config.sample_rate,
+            bit_depth=self.config.bit_depth,
+            channels=self.config.num_channels,
+        )
+
+    def duration(self) -> float:
+        """Total stream duration in seconds (packet-count approximation)."""
+        total = len(self._samples) * self.config.frame_length
+        return total / self.config.sample_rate
+
+    def position(self) -> float:
+        """Current playback position in seconds."""
+        return self._sample_idx * self.config.frame_length / self.config.sample_rate
+
+    # --- Seek (decode.go:103-124) ---
+
+    def seek(self, t: float) -> float:
+        """Seek to time ``t`` seconds; returns the actual (packet-aligned)
+        position.  Negative seeks clamp to start, past-end to end."""
+        target_frame = int(t * self.config.sample_rate)
+        target = target_frame // self.config.frame_length
+        target = max(0, min(target, len(self._samples)))
+
+        self._sample_idx = target
+        self._buf = b""
+        self._buf_off = 0
+        self._eof = target >= len(self._samples)
+
+        return target * self.config.frame_length / self.config.sample_rate
+
+    # --- Read (decode.go:127-190) ---
+
+    def read(self, n: int = -1) -> bytes:
+        """Read up to ``n`` decoded PCM bytes (all remaining if n < 0).
+
+        Returns b"" at end of stream (Python file-object convention; the
+        reference returns (0, io.EOF))."""
+        if n is None or n < 0:
+            chunks = []
+            while True:
+                chunk = self.read(1 << 20)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+            return b"".join(chunks)
+
+        out = bytearray()
+        while len(out) < n:
+            if self._buf_off < len(self._buf):
+                take = min(n - len(out), len(self._buf) - self._buf_off)
+                out += self._buf[self._buf_off : self._buf_off + take]
+                self._buf_off += take
+                continue
+
+            if self._eof or self._sample_idx >= len(self._samples):
+                self._eof = True
+                break
+
+            self._fill_buffer()
+
+        return bytes(out)
+
+    def _fill_buffer(self) -> None:
+        """Decode the next packet (or batch of packets) into the drain buffer."""
+        count = 1 if self._batch_dec is None else min(
+            self._batch_size, len(self._samples) - self._sample_idx
+        )
+        infos = self._samples[self._sample_idx : self._sample_idx + count]
+
+        packets = []
+        for info in infos:
+            self._reader.seek(info.offset)
+            data = self._reader.read(info.size)
+            if len(data) < info.size:
+                raise EOFError(
+                    f"short read for packet {self._sample_idx}: {len(data)} < {info.size}"
+                )
+            packets.append(data)
+
+        if self._batch_dec is None:
+            self._buf = self._packet_dec.decode_packet(packets[0])
+        else:
+            self._buf = b"".join(self._batch_dec.decode_packets(packets))
+        self._buf_off = 0
+        self._sample_idx += count
+
+
+def new_decoder(reader: BinaryIO, backend: str = "scalar", batch_size: int = 64) -> Decoder:
+    """Open an M4A/MP4 stream containing ALAC audio (reference NewDecoder)."""
+    return Decoder(reader, backend=backend, batch_size=batch_size)

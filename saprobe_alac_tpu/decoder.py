@@ -1,0 +1,84 @@
+"""Packet-level decode API.
+
+``PacketDecoder`` is the low-level single-packet surface (parity with
+reference decoder.go:79-128: NewPacketDecoder / DecodePacket / Format).
+
+``BatchDecoder`` is the TPU-native throughput surface the reference lacks: it
+decodes batches of packets in parallel on the device (one packet per vector
+lane), falling back to the scalar oracle per-packet when no accelerator path
+is available or a packet fails on-device validation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from .codec import decode_packet as _scalar_decode_packet
+from .config import PacketConfig
+from .errors import UnsupportedBitDepth
+from .formats import ALAC_BIT_DEPTHS, PCMFormat, bytes_per_sample
+
+
+class PacketDecoder:
+    """Decodes single ALAC packets into interleaved LE signed PCM bytes."""
+
+    def __init__(self, config: PacketConfig, backend: str = "scalar"):
+        if config.bit_depth not in ALAC_BIT_DEPTHS:
+            raise UnsupportedBitDepth(f"unsupported bit depth {config.bit_depth}")
+        self.config = config
+        self.backend = backend
+        self._format = PCMFormat(
+            sample_rate=config.sample_rate,
+            bit_depth=config.bit_depth,
+            channels=config.num_channels,
+        )
+
+    def format(self) -> PCMFormat:
+        return self._format
+
+    def decode_packet(self, packet: bytes) -> bytes:
+        """Decode one packet to interleaved LE signed PCM (truncated to the
+        actual sample count for partial frames)."""
+        pcm, _ = _scalar_decode_packet(self.config, packet)
+        return pcm
+
+
+class BatchDecoder:
+    """Batched packet decoding on the TPU (the framework's throughput path).
+
+    All packets in a batch share one PacketConfig (one file / one cookie), so
+    frame length and channel layout are static shapes for the compiled kernel
+    (SURVEY §7 batching contract).
+    """
+
+    def __init__(self, config: PacketConfig, backend: str = "auto"):
+        if config.bit_depth not in ALAC_BIT_DEPTHS:
+            raise UnsupportedBitDepth(f"unsupported bit depth {config.bit_depth}")
+        self.config = config
+        self._format = PCMFormat(
+            sample_rate=config.sample_rate,
+            bit_depth=config.bit_depth,
+            channels=config.num_channels,
+        )
+        if backend == "auto":
+            backend = "jax"
+        self.backend = backend
+        self._jax_impl = None
+
+    def format(self) -> PCMFormat:
+        return self._format
+
+    def _jax(self):
+        if self._jax_impl is None:
+            from .ops.batch import JaxBatchDecoder
+
+            self._jax_impl = JaxBatchDecoder(self.config)
+        return self._jax_impl
+
+    def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
+        """Decode a batch of packets; returns per-packet PCM byte strings."""
+        if not packets:
+            return []
+        if self.backend == "scalar":
+            return [_scalar_decode_packet(self.config, p)[0] for p in packets]
+        return self._jax().decode_packets(packets)
