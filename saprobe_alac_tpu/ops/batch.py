@@ -1,0 +1,122 @@
+"""Batch decode orchestration: host packing -> device phases -> host bytes.
+
+JaxBatchDecoder compiles one program per (config, batch-bucket, width-bucket)
+and reuses it across calls.  Packets that trip on-device validation (malformed
+or degenerate streams) fall back to the scalar oracle per packet, reproducing
+the reference's exact per-packet error surface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import decode_packet as scalar_decode_packet
+from ..codec.matrixing import pack_pcm
+from ..config import PacketConfig
+from .bitpack import pack_packets
+from .epilogue import extract_escape, extract_shift, finish
+from .lpc import lpc_batch
+from .walk import ERR_NONE, walk_batch
+
+
+def _bucket(n: int, floor: int = 8) -> int:
+    """Next power of two >= n (bounds recompilation count)."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth", "pb", "mb", "kb"))
+def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
+    F = frame_length
+    C = num_channels
+    B = words.shape[0]
+
+    w = walk_batch(words, size_bits, F, C, depth, pb, mb, kb)
+
+    # Escape channels: raw extraction into the residual planes (order == 0).
+    res = extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C)
+
+    # LPC reconstruction over (B*C) lanes.
+    L = B * C
+    ns_l = jnp.repeat(w.ns, C)
+    mix = lpc_batch(
+        res.reshape(L, F),
+        w.order.reshape(L),
+        w.mode.reshape(L),
+        w.den.reshape(L),
+        w.cb.reshape(L),
+        ns_l,
+        w.coefs.reshape(L, 32),
+        F,
+    ).reshape(B, C, F)
+
+    shift_vals = extract_shift(words, w.shift_base, w.bs, w.role, F, C)
+    out = finish(mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, F, C, depth)
+    return out, w.err, w.ns
+
+
+class JaxBatchDecoder:
+    """Device-batched packet decoding for one PacketConfig."""
+
+    def __init__(self, config: PacketConfig):
+        self.config = config
+        # Degenerate entropy tuning (kb == 0) relies on Go uint32 bit-position
+        # wrap semantics; route such streams to the scalar oracle wholesale.
+        self._scalar_only = config.kb == 0
+
+    def decode_arrays(self, packets: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode to ((B, F, C) int32 sample planes, (B,) ns, (B,) err)."""
+        cfg = self.config
+        words_np, sizes_np = pack_packets(list(packets))
+        B = len(packets)
+        Bb = _bucket(B)
+        Wb = _bucket(words_np.shape[1], floor=16)
+        words = np.zeros((Bb, Wb), dtype=np.int32)
+        words[:B, : words_np.shape[1]] = words_np
+        sizes = np.zeros(Bb, dtype=np.int32)
+        sizes[:B] = sizes_np
+
+        out, err, ns = _decode_batch(
+            jnp.asarray(words),
+            jnp.asarray(sizes),
+            cfg.frame_length,
+            cfg.num_channels,
+            cfg.bit_depth,
+            cfg.pb,
+            cfg.mb,
+            cfg.kb,
+        )
+        return (
+            np.asarray(out[:B]),
+            np.asarray(ns[:B]),
+            np.asarray(err[:B]),
+        )
+
+    def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
+        """Decode a batch to per-packet interleaved LE PCM bytes.
+
+        Raises the oracle's exception for genuinely malformed packets;
+        silently falls back per-packet for streams the device path declines
+        (degenerate widths), keeping output bit-exact either way.
+        """
+        cfg = self.config
+        if self._scalar_only:
+            return [scalar_decode_packet(cfg, p)[0] for p in packets]
+
+        out, ns, err = self.decode_arrays(packets)
+
+        results: list[bytes] = []
+        for i, packet in enumerate(packets):
+            if err[i] != ERR_NONE:
+                pcm, _ = scalar_decode_packet(cfg, packet)  # raises on real errors
+                results.append(pcm)
+            else:
+                results.append(pack_pcm(out[i, : ns[i]], cfg.bit_depth))
+        return results

@@ -1,0 +1,110 @@
+"""Phase 3: fully parallel finishing stages.
+
+Escape raw-sample extraction and shift-buffer extraction are fixed-stride bit
+gathers (no serial dependency); stereo un-decorrelation, shift re-insert,
+20-bit normalization, and MPEG->SMPTE channel remap are element-wise
+(matrix.go semantics throughout).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .jaxint import I32, U32, s, sext, sshr, u
+from .streambits import vread
+
+
+@partial(jax.jit, static_argnames=("frame_length", "num_channels"))
+def extract_escape(words, res, esc, esc_base, esc_cb, role, frame_length, num_channels):
+    """Fill escape channels' planes with raw sign-extended samples.
+
+    Escape data layout (decoder.go:326-345, 507-535): SCE = consecutive
+    chan_bits-wide values; CPE = U/V interleaved.  Values land in the residual
+    planes with order forced 0 so phase 2 passes them through.
+    """
+    B = res.shape[0]
+    F = frame_length
+    C = num_channels
+    i = jnp.arange(F, dtype=I32)[None, :]
+    out = res
+    for c in range(C):
+        active = esc[:, c] == 1
+        cb = esc_cb[:, c][:, None]
+        rl = role[:, c][:, None]
+        # Mono: stride cb.  Pair U: stride 2cb phase 0.  Pair V: stride 2cb, phase cb.
+        stride = jnp.where(rl == 0, cb, 2 * cb)
+        phase = jnp.where(rl == 2, cb, 0)
+        pos = esc_base[:, c][:, None] + i * stride + phase
+        vals = sext(vread(words, pos, jnp.maximum(cb, 1)), cb)
+        plane = jnp.where(active[:, None], vals, out[:, c * F : (c + 1) * F])
+        out = jax.lax.dynamic_update_slice(out, plane, (0, c * F))
+    return out
+
+
+@partial(jax.jit, static_argnames=("frame_length", "num_channels"))
+def extract_shift(words, shift_base, bs, role, frame_length, num_channels):
+    """Extract shift-buffer LSB values: (B, C, F) int32.
+
+    Mono channels read consecutive width-bit values; pairs are interleaved
+    U/V (decoder.go:314-321, 492-502).
+    """
+    B = shift_base.shape[0]
+    F = frame_length
+    C = num_channels
+    i = jnp.arange(F, dtype=I32)[None, :]
+    planes = []
+    for c in range(C):
+        width = bs[:, c][:, None] * 8
+        rl = role[:, c][:, None]
+        stride = jnp.where(rl == 0, width, 2 * width)
+        phase = jnp.where(rl == 2, width, 0)
+        pos = shift_base[:, c][:, None] + i * stride + phase
+        vals = vread(words, pos, jnp.maximum(width, 1))
+        planes.append(jnp.where((bs[:, c] > 0)[:, None], vals, 0))
+    return jnp.stack(planes, axis=1)
+
+
+@partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth"))
+def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, frame_length, num_channels, depth):
+    """Unmix pairs, re-insert shift bits, normalize 20-bit, remap channels.
+
+    mix: (B, C, F) reconstructed channel values (bitstream channel order).
+    Returns (B, F, C) int32 output samples in SMPTE order.
+    """
+    B = mix.shape[0]
+    F = frame_length
+    C = num_channels
+
+    # Stereo un-decorrelation (matrix.go:38-49), wrapping int32:
+    #   left = u + v - ((mixres*v) >> mixbits); right = left - v
+    unmixed = mix
+    for c in range(C - 1):
+        is_u = role[:, c] == 1
+        uvals = mix[:, c]
+        vvals = mix[:, c + 1]
+        mres = mixres[:, c][:, None]
+        mbits = mixbits[:, c][:, None]
+        corr = sshr(mres * vvals, mbits)
+        left = jnp.where((is_u[:, None]) & (mres != 0), uvals + vvals - corr, uvals)
+        right = jnp.where((is_u[:, None]) & (mres != 0), left - vvals, vvals)
+        unmixed = unmixed.at[:, c].set(jnp.where(is_u[:, None], left, unmixed[:, c]))
+        unmixed = unmixed.at[:, c + 1].set(jnp.where(is_u[:, None], right, unmixed[:, c + 1]))
+
+    # Shift re-insert: (val << shift) | shiftbits (matrix.go:129-131).
+    shift = bs[:, :, None] * 8
+    shifted = s(jax.lax.shift_left(u(unmixed), u(jnp.minimum(shift, 31)))) | shift_vals
+    vals = jnp.where(bs[:, :, None] > 0, shifted, unmixed)
+
+    # 20-bit output is stored << 4 (matrix.go:91-101).
+    if depth == 20:
+        vals = s(jax.lax.shift_left(u(vals), U32(4)))
+
+    # MPEG -> SMPTE remap via recorded out_chan (decoder.go:55-64).
+    out = jnp.zeros((B, F, C), I32)
+    for c in range(C):
+        oc = out_chan[:, c]
+        out = out.at[jnp.arange(B), :, oc].set(vals[:, c])
+    return out

@@ -1,0 +1,96 @@
+"""Packet-axis data parallelism over a device mesh.
+
+ALAC packets are fully self-contained (own headers, own coefficients, decoder
+state reset per packet — reference decode.go:130-187), so multi-chip scaling
+is pure data parallelism: shard the batch axis over the mesh and run the
+single-chip pipeline per shard under jax.shard_map.  No collectives are
+required for correctness (SURVEY §2.4); the only cross-device traffic is the
+optional output gather, which rides ICI via the output sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codec.matrixing import pack_pcm
+from ..config import PacketConfig
+from ..codec import decode_packet as scalar_decode_packet
+from .. import ops
+from ..ops.batch import _bucket, _decode_batch
+from ..ops.bitpack import pack_packets
+from ..ops.walk import ERR_NONE
+
+PACKET_AXIS = "packets"
+
+
+def make_packet_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """A 1-D mesh with every device on the packet axis."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (PACKET_AXIS,))
+
+
+class ShardedBatchDecoder:
+    """Batch decoding sharded over a device mesh (packet-axis DP)."""
+
+    def __init__(self, config: PacketConfig, mesh: Mesh | None = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_packet_mesh()
+        self._n = self.mesh.devices.size
+
+        cfg = config
+        single = partial(
+            _decode_batch,
+            frame_length=cfg.frame_length,
+            num_channels=cfg.num_channels,
+            depth=cfg.bit_depth,
+            pb=cfg.pb,
+            mb=cfg.mb,
+            kb=cfg.kb,
+        )
+        sharded = jax.shard_map(
+            single,
+            mesh=self.mesh,
+            in_specs=(P(PACKET_AXIS, None), P(PACKET_AXIS)),
+            out_specs=(P(PACKET_AXIS, None, None), P(PACKET_AXIS), P(PACKET_AXIS)),
+            # Loop carries are seeded from replicated literals; skip the
+            # varying-manual-axes check (everything here is lane-local).
+            check_vma=False,
+        )
+        self._fn = jax.jit(sharded)
+
+    def decode_arrays(self, packets: Sequence[bytes]):
+        """Decode to ((B, F, C) planes, (B,) ns, (B,) err), sharded over the mesh."""
+        words_np, sizes_np = pack_packets(list(packets))
+        B = len(packets)
+        n = self._n
+        Bb = max(_bucket(B), n)
+        Bb = ((Bb + n - 1) // n) * n  # divisible by mesh size
+        Wb = _bucket(words_np.shape[1], floor=16)
+        words = np.zeros((Bb, Wb), dtype=np.int32)
+        words[:B, : words_np.shape[1]] = words_np
+        sizes = np.zeros(Bb, dtype=np.int32)
+        sizes[:B] = sizes_np
+
+        in_shard = NamedSharding(self.mesh, P(PACKET_AXIS, None))
+        in_shard1 = NamedSharding(self.mesh, P(PACKET_AXIS))
+        words_d = jax.device_put(jnp.asarray(words), in_shard)
+        sizes_d = jax.device_put(jnp.asarray(sizes), in_shard1)
+        out, err, ns = self._fn(words_d, sizes_d)
+        return np.asarray(out[:B]), np.asarray(ns[:B]), np.asarray(err[:B])
+
+    def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
+        out, ns, err = self.decode_arrays(packets)
+        results = []
+        for i, packet in enumerate(packets):
+            if err[i] != ERR_NONE:
+                pcm, _ = scalar_decode_packet(self.config, packet)
+                results.append(pcm)
+            else:
+                results.append(pack_pcm(out[i, : ns[i]], self.config.bit_depth))
+        return results

@@ -7,11 +7,16 @@ path via __graft_entry__.dryrun_multichip).
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Must be set before jax initializes a backend.  NB: the axon TPU plugin in
+# this image ignores the JAX_PLATFORMS env var, so use the config API too.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,104 @@
+"""Differential conformance: JAX/TPU batch pipeline vs the scalar oracle.
+
+Each distinct (depth, channels, frame) compiles once (~15s on CPU), so the
+suite reuses a few configs and varies encoder specs within them.  The full
+56-config sweep lives in hack/sweep_jax.py for deeper (slower) validation.
+"""
+
+import numpy as np
+import pytest
+
+from saprobe_alac_tpu.codec import decode_packet as oracle
+from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
+from saprobe_alac_tpu.encoder.encode import ChannelSpec
+from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+from conftest import make_config, music_pcm
+
+FRAME = 160
+
+_decoders = {}
+
+
+def get_decoder(cfg):
+    key = (cfg.bit_depth, cfg.num_channels, cfg.frame_length)
+    if key not in _decoders:
+        _decoders[key] = JaxBatchDecoder(cfg)
+    return _decoders[key]
+
+
+def diff(cfg, spec, pcm):
+    pkts = encode_packets(cfg, spec, pcm)
+    got = get_decoder(cfg).decode_packets(pkts)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        EncoderSpec(),
+        EncoderSpec(mix_res=0),
+        EncoderSpec(mix_res=-3, mix_bits=2),
+        EncoderSpec(escape=True),
+        EncoderSpec(channel=ChannelSpec(order=0)),
+        EncoderSpec(channel=ChannelSpec(order=5)),
+        EncoderSpec(channel=ChannelSpec(order=8)),
+        EncoderSpec(channel=ChannelSpec(order=30)),
+        EncoderSpec(channel=ChannelSpec(order=31)),
+        EncoderSpec(channel=ChannelSpec(order=12, mode=1)),
+    ],
+    ids=["std", "mix0", "mixneg", "escape", "o0", "o5", "o8", "o30", "o31", "o12m1"],
+)
+def test_stereo16_specs(spec):
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    diff(cfg, spec, music_pcm(FRAME * 3, 2, 16, seed=7))
+
+
+def test_stereo16_partial_silence_noise():
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    diff(cfg, EncoderSpec(), music_pcm(FRAME * 3 - 37, 2, 16, seed=8))
+    diff(cfg, EncoderSpec(), np.zeros((FRAME * 2, 2), dtype=np.int64))
+    diff(cfg, EncoderSpec(), music_pcm(FRAME * 2, 2, 16, seed=9, tonality=0.0))
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [EncoderSpec(), EncoderSpec(bytes_shifted=1), EncoderSpec(bytes_shifted=2), EncoderSpec(escape=True)],
+    ids=["std", "bs1", "bs2", "escape"],
+)
+def test_hires32_stereo(spec):
+    """32-bit: shift-buffer two-cursor paths and wide escape reads."""
+    cfg = make_config(depth=32, channels=2, frame_length=FRAME)
+    diff(cfg, spec, music_pcm(FRAME * 2, 2, 32, seed=10))
+
+
+def test_surround_5_1():
+    """SCE+CPE+CPE+LFE element layout with SMPTE remap and shift buffers."""
+    cfg = make_config(depth=24, channels=6, frame_length=FRAME)
+    diff(cfg, EncoderSpec(bytes_shifted=1), music_pcm(FRAME * 2, 6, 24, seed=11))
+    diff(cfg, EncoderSpec(), music_pcm(FRAME * 2, 6, 24, seed=12))
+
+
+def test_malformed_packets_fall_back():
+    """Corrupt packets route through the scalar oracle and raise its errors."""
+    from saprobe_alac_tpu.errors import DecodeError
+
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    pcm = music_pcm(FRAME, 2, 16, seed=13)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    dec = get_decoder(cfg)
+    with pytest.raises(DecodeError):
+        dec.decode_packets([pkts[0][: len(pkts[0]) // 3]])
+    # A good batch still works after an error.
+    assert dec.decode_packets(pkts) == [oracle(cfg, p)[0] for p in pkts]
+
+
+def test_large_batch_bucketing():
+    """Batch sizes cross bucket boundaries; padding lanes are dropped."""
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    pcm = music_pcm(FRAME * 9, 2, 16, seed=14)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    assert len(pkts) == 9  # buckets to 16
+    got = get_decoder(cfg).decode_packets(pkts)
+    assert got == [oracle(cfg, p)[0] for p in pkts]
