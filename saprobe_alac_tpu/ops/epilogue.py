@@ -108,3 +108,28 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, frame_length, n
         oc = out_chan[:, c]
         out = out.at[jnp.arange(B), :, oc].set(vals[:, c])
     return out
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def pack_output(out, depth):
+    """Device-side interleaved little-endian PCM byte packing.
+
+    Keeps the device->host transfer at exactly the PCM payload size
+    (16-bit: int16 lanes; 20/24-bit: 3-byte triples as uint8; 32-bit: int32).
+    Matches the matrix.go writers' byte layout.
+    """
+    B, F, C = out.shape
+    flat = out.reshape(B, F * C)
+    if depth == 16:
+        return flat.astype(jnp.int16)
+    if depth in (20, 24):
+        u8 = jnp.stack(
+            [
+                (flat & 0xFF).astype(jnp.uint8),
+                (sshr(flat, 8) & 0xFF).astype(jnp.uint8),
+                (sshr(flat, 16) & 0xFF).astype(jnp.uint8),
+            ],
+            axis=-1,
+        )
+        return u8.reshape(B, F * C * 3)
+    return flat  # 32-bit: int32 little-endian on host

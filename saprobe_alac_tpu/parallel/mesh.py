@@ -18,11 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codec.matrixing import pack_pcm
-from ..config import PacketConfig
 from ..codec import decode_packet as scalar_decode_packet
-from .. import ops
-from ..ops.batch import _bucket, _decode_batch
+from ..config import PacketConfig
+from ..ops.batch import JaxBatchDecoder, _bucket, _decode_batch
 from ..ops.bitpack import pack_packets
 from ..ops.walk import ERR_NONE
 
@@ -35,11 +33,11 @@ def make_packet_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
     return Mesh(np.array(devices), (PACKET_AXIS,))
 
 
-class ShardedBatchDecoder:
+class ShardedBatchDecoder(JaxBatchDecoder):
     """Batch decoding sharded over a device mesh (packet-axis DP)."""
 
     def __init__(self, config: PacketConfig, mesh: Mesh | None = None):
-        self.config = config
+        super().__init__(config)
         self.mesh = mesh if mesh is not None else make_packet_mesh()
         self._n = self.mesh.devices.size
 
@@ -57,15 +55,14 @@ class ShardedBatchDecoder:
             single,
             mesh=self.mesh,
             in_specs=(P(PACKET_AXIS, None), P(PACKET_AXIS)),
-            out_specs=(P(PACKET_AXIS, None, None), P(PACKET_AXIS), P(PACKET_AXIS)),
+            out_specs=(P(PACKET_AXIS, None), P(PACKET_AXIS), P(PACKET_AXIS)),
             # Loop carries are seeded from replicated literals; skip the
             # varying-manual-axes check (everything here is lane-local).
             check_vma=False,
         )
         self._fn = jax.jit(sharded)
 
-    def decode_arrays(self, packets: Sequence[bytes]):
-        """Decode to ((B, F, C) planes, (B,) ns, (B,) err), sharded over the mesh."""
+    def decode_async(self, packets: Sequence[bytes]):
         words_np, sizes_np = pack_packets(list(packets))
         B = len(packets)
         n = self._n
@@ -77,20 +74,8 @@ class ShardedBatchDecoder:
         sizes = np.zeros(Bb, dtype=np.int32)
         sizes[:B] = sizes_np
 
-        in_shard = NamedSharding(self.mesh, P(PACKET_AXIS, None))
-        in_shard1 = NamedSharding(self.mesh, P(PACKET_AXIS))
-        words_d = jax.device_put(jnp.asarray(words), in_shard)
-        sizes_d = jax.device_put(jnp.asarray(sizes), in_shard1)
-        out, err, ns = self._fn(words_d, sizes_d)
-        return np.asarray(out[:B]), np.asarray(ns[:B]), np.asarray(err[:B])
-
-    def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
-        out, ns, err = self.decode_arrays(packets)
-        results = []
-        for i, packet in enumerate(packets):
-            if err[i] != ERR_NONE:
-                pcm, _ = scalar_decode_packet(self.config, packet)
-                results.append(pcm)
-            else:
-                results.append(pack_pcm(out[i, : ns[i]], self.config.bit_depth))
-        return results
+        in2 = NamedSharding(self.mesh, P(PACKET_AXIS, None))
+        in1 = NamedSharding(self.mesh, P(PACKET_AXIS))
+        words_d = jax.device_put(jnp.asarray(words), in2)
+        sizes_d = jax.device_put(jnp.asarray(sizes), in1)
+        return self._fn(words_d, sizes_d)
