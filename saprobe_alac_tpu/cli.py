@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("-version", "--version", action="version", version=f"alac-decode {__version__}")
     parser.add_argument("-format", "--format", choices=("wav", "pcm"), default="wav")
     parser.add_argument(
-        "-backend", "--backend", choices=("scalar", "jax"), default="scalar",
+        "-backend", "--backend", choices=("auto", "native", "scalar", "jax"), default="auto",
         help="decode backend: scalar oracle (host) or batched TPU/JAX",
     )
     parser.add_argument("-batch", "--batch", type=int, default=64, help="packets per device batch")

@@ -28,9 +28,11 @@ class Decoder:
     def __init__(
         self,
         reader: BinaryIO,
-        backend: str = "scalar",
+        backend: str = "auto",
         batch_size: int = 64,
     ):
+        """backend: "auto"/"native"/"scalar" decode on host per packet;
+        "jax" decodes packet batches on the accelerator."""
         cookie, samples = find_alac_track(reader)
         config = parse_magic_cookie(cookie)
 
@@ -43,8 +45,8 @@ class Decoder:
         self._eof = False
         self._batch_size = max(1, batch_size)
 
-        if backend == "scalar" or self._batch_size == 1:
-            self._packet_dec = PacketDecoder(config)
+        if backend != "jax" or self._batch_size == 1:
+            self._packet_dec = PacketDecoder(config, backend=backend if backend != "jax" else "auto")
             self._batch_dec = None
         else:
             self._packet_dec = None
@@ -141,6 +143,6 @@ class Decoder:
         self._sample_idx += count
 
 
-def new_decoder(reader: BinaryIO, backend: str = "scalar", batch_size: int = 64) -> Decoder:
+def new_decoder(reader: BinaryIO, backend: str = "auto", batch_size: int = 64) -> Decoder:
     """Open an M4A/MP4 stream containing ALAC audio (reference NewDecoder)."""
     return Decoder(reader, backend=backend, batch_size=batch_size)

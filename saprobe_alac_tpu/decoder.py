@@ -20,12 +20,20 @@ from .formats import ALAC_BIT_DEPTHS, PCMFormat, bytes_per_sample
 
 
 class PacketDecoder:
-    """Decodes single ALAC packets into interleaved LE signed PCM bytes."""
+    """Decodes single ALAC packets into interleaved LE signed PCM bytes.
 
-    def __init__(self, config: PacketConfig, backend: str = "scalar"):
+    backend: "auto" (native C++ core when available, else the Python scalar
+    oracle), "native", or "scalar".
+    """
+
+    def __init__(self, config: PacketConfig, backend: str = "auto"):
         if config.bit_depth not in ALAC_BIT_DEPTHS:
             raise UnsupportedBitDepth(f"unsupported bit depth {config.bit_depth}")
         self.config = config
+        if backend == "auto":
+            from . import native
+
+            backend = "native" if native.available() else "scalar"
         self.backend = backend
         self._format = PCMFormat(
             sample_rate=config.sample_rate,
@@ -39,6 +47,10 @@ class PacketDecoder:
     def decode_packet(self, packet: bytes) -> bytes:
         """Decode one packet to interleaved LE signed PCM (truncated to the
         actual sample count for partial frames)."""
+        if self.backend == "native":
+            from . import native
+
+            return native.decode_packet(self.config, packet)
         pcm, _ = _scalar_decode_packet(self.config, packet)
         return pcm
 

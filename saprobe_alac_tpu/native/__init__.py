@@ -1,0 +1,204 @@
+"""ctypes binding to the C++ native decode core (native/alac_core.cpp).
+
+Builds the shared library on demand with g++ (no pybind11 in this image).
+``-fwrapv`` is required: the codec math relies on wrapping int32 like Go.
+Falls back gracefully (available() == False) when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..config import PacketConfig
+from ..errors import (
+    BitstreamOverrun,
+    DecodeError,
+    InvalidHeader,
+    InvalidShift,
+    SampleOverrun,
+    UnsupportedElement,
+)
+from ..formats import bytes_per_sample
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "alac_core.cpp"
+_SO = Path(__file__).resolve().parent / "_alac_core.so"
+
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+_ERROR_MAP = {
+    1: BitstreamOverrun,
+    2: UnsupportedElement,
+    3: InvalidHeader,
+    4: InvalidShift,
+    5: SampleOverrun,
+}
+
+
+class _ConfigC(ctypes.Structure):
+    _fields_ = [
+        ("frame_length", ctypes.c_uint32),
+        ("bit_depth", ctypes.c_uint32),
+        ("num_channels", ctypes.c_uint32),
+        ("pb", ctypes.c_uint32),
+        ("mb", ctypes.c_uint32),
+        ("kb", ctypes.c_uint32),
+        ("max_run", ctypes.c_uint32),
+    ]
+
+
+def _build() -> str | None:
+    """Compile the shared library; returns an error string or None."""
+    if not _SRC.exists():
+        return f"source not found: {_SRC}"
+    cmd = [
+        "g++",
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-fwrapv",  # wrapping signed arithmetic (Go/int32 semantics)
+        "-fopenmp",
+        "-o",
+        str(_SO),
+        str(_SRC),
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as exc:
+        return f"g++ invocation failed: {exc}"
+    if proc.returncode != 0:
+        return f"g++ failed:\n{proc.stderr}"
+    return None
+
+
+def _load():
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not _SO.exists() or (_SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime):
+            _build_error = _build()
+            if _build_error is not None:
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as exc:
+            _build_error = str(exc)
+            return None
+        lib.alac_decode_packet.restype = ctypes.c_int32
+        lib.alac_decode_packet.argtypes = [
+            ctypes.POINTER(_ConfigC),
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.alac_decode_batch.restype = ctypes.c_int32
+        lib.alac_decode_batch.argtypes = [
+            ctypes.POINTER(_ConfigC),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native core is built and loadable."""
+    return _load() is not None
+
+
+def build_error() -> str | None:
+    _load()
+    return _build_error
+
+
+def _config_c(config: PacketConfig) -> _ConfigC:
+    return _ConfigC(
+        frame_length=config.frame_length,
+        bit_depth=config.bit_depth,
+        num_channels=config.num_channels,
+        pb=config.pb,
+        mb=config.mb,
+        kb=config.kb,
+        max_run=config.max_run,
+    )
+
+
+def _raise_for(code: int) -> None:
+    exc = _ERROR_MAP.get(code, DecodeError)
+    raise exc(f"native decode error code {code}")
+
+
+def decode_packet(config: PacketConfig, packet: bytes) -> bytes:
+    """Decode one packet via the native core (bit-exact vs the oracle)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    cap = config.frame_length * config.num_channels * bytes_per_sample(config.bit_depth)
+    out = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_int32(0)
+    rc = lib.alac_decode_packet(
+        ctypes.byref(_config_c(config)),
+        packet,
+        len(packet),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        _raise_for(rc)
+    return out[: out_len.value].tobytes()
+
+
+def decode_batch(
+    config: PacketConfig, packets: list[bytes], n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Threaded batch decode.  Returns (out rows uint8 (B, stride), lens, errs)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    count = len(packets)
+    stride = config.frame_length * config.num_channels * bytes_per_sample(config.bit_depth)
+    flat = np.frombuffer(b"".join(packets), dtype=np.uint8)
+    if flat.size == 0:
+        flat = np.zeros(1, dtype=np.uint8)
+    offsets = np.zeros(count, dtype=np.int64)
+    sizes = np.zeros(count, dtype=np.int32)
+    pos = 0
+    for i, p in enumerate(packets):
+        offsets[i] = pos
+        sizes[i] = len(p)
+        pos += len(p)
+    out = np.zeros((count, stride), dtype=np.uint8)
+    lens = np.zeros(count, dtype=np.int32)
+    errs = np.zeros(count, dtype=np.int32)
+    lib.alac_decode_batch(
+        ctypes.byref(_config_c(config)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        stride,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    return out, lens, errs
