@@ -80,5 +80,44 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def encode_main(argv: list[str] | None = None) -> int:
+    """alac-encode: WAV -> ALAC M4A (a capability the reference lacks)."""
+    parser = argparse.ArgumentParser(
+        prog="alac-encode", description="Encode a PCM WAV file to ALAC (Apple Lossless) M4A."
+    )
+    parser.add_argument("-version", "--version", action="version", version=f"alac-encode {__version__}")
+    parser.add_argument("-frame", "--frame", type=int, default=4096, help="samples per packet")
+    parser.add_argument("input", help="input .wav file, or '-' for stdin")
+    parser.add_argument("output", nargs="?", help="output .m4a (default: stdout)")
+    args = parser.parse_args(argv)
+
+    from .encoder import encode_wav_to_m4a
+
+    if args.input == "-":
+        reader = io.BytesIO(sys.stdin.buffer.read())
+    else:
+        try:
+            reader = open(args.input, "rb")
+        except OSError as exc:
+            print(f"alac-encode: {exc}", file=sys.stderr)
+            return 1
+
+    try:
+        m4a = encode_wav_to_m4a(reader, frame_length=args.frame)
+    except (ValueError, AlacError) as exc:
+        print(f"alac-encode: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        if args.input != "-":
+            reader.close()
+
+    if args.output:
+        with open(args.output, "wb") as out:
+            out.write(m4a)
+    else:
+        sys.stdout.buffer.write(m4a)
+    return 0
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -51,6 +51,8 @@ class Decoder:
         else:
             self._packet_dec = None
             self._batch_dec = BatchDecoder(config, backend=backend)
+        # Device prefetch state: (first_sample_idx, packets, async handle).
+        self._prefetch = None
 
     # --- Format / timing (decode.go:78-97) ---
 
@@ -83,6 +85,7 @@ class Decoder:
         self._buf = b""
         self._buf_off = 0
         self._eof = target >= len(self._samples)
+        self._prefetch = None  # prefetched window no longer matches
 
         return target * self.config.frame_length / self.config.sample_rate
 
@@ -118,27 +121,55 @@ class Decoder:
 
         return bytes(out)
 
-    def _fill_buffer(self) -> None:
-        """Decode the next packet (or batch of packets) into the drain buffer."""
-        count = 1 if self._batch_dec is None else min(
-            self._batch_size, len(self._samples) - self._sample_idx
-        )
-        infos = self._samples[self._sample_idx : self._sample_idx + count]
-
+    def _read_packets(self, start: int, count: int) -> list[bytes]:
         packets = []
-        for info in infos:
+        for info in self._samples[start : start + count]:
             self._reader.seek(info.offset)
             data = self._reader.read(info.size)
             if len(data) < info.size:
-                raise EOFError(
-                    f"short read for packet {self._sample_idx}: {len(data)} < {info.size}"
-                )
+                raise EOFError(f"short read for packet {start}: {len(data)} < {info.size}")
             packets.append(data)
+        return packets
 
+    def _fill_buffer(self) -> None:
+        """Decode the next packet (or batch of packets) into the drain buffer.
+
+        With the device backend, the NEXT batch is dispatched before the
+        current one is materialized, overlapping host IO, transfers and
+        device compute across windows (packets are independent, so prefetch
+        never speculates wrongly except across a seek, which drops it).
+        """
         if self._batch_dec is None:
+            packets = self._read_packets(self._sample_idx, 1)
             self._buf = self._packet_dec.decode_packet(packets[0])
+            self._buf_off = 0
+            self._sample_idx += 1
+            return
+
+        impl = self._batch_dec._jax()
+        count = min(self._batch_size, len(self._samples) - self._sample_idx)
+        if impl._scalar_only:
+            packets = self._read_packets(self._sample_idx, count)
+            self._buf = b"".join(impl.decode_packets(packets))
+            self._buf_off = 0
+            self._sample_idx += count
+            return
+        if self._prefetch is not None and self._prefetch[0] == self._sample_idx:
+            _, packets, handle = self._prefetch
+            count = len(packets)
         else:
-            self._buf = b"".join(self._batch_dec.decode_packets(packets))
+            packets = self._read_packets(self._sample_idx, count)
+            handle = impl.decode_async(packets)
+        self._prefetch = None
+
+        # Dispatch the next window before blocking on this one.
+        nxt = self._sample_idx + count
+        nxt_count = min(self._batch_size, len(self._samples) - nxt)
+        if nxt_count > 0:
+            nxt_packets = self._read_packets(nxt, nxt_count)
+            self._prefetch = (nxt, nxt_packets, impl.decode_async(nxt_packets))
+
+        self._buf = b"".join(impl.finish_async(handle, packets))
         self._buf_off = 0
         self._sample_idx += count
 

@@ -12,7 +12,18 @@ adaptive LPC) and escape paths, stereo decorrelation, shift-buffer paths for
 high bit depths, partial final frames, and M4A container output.
 """
 
-from .encode import EncoderSpec, encode_packet, encode_packets
-from .mux import write_m4a
+from .api import encode_to_m4a, encode_wav_to_m4a, make_packet_config
+from .encode import ChannelSpec, EncoderSpec, encode_packet, encode_packets
+from .mux import build_m4a, write_m4a
 
-__all__ = ["EncoderSpec", "encode_packet", "encode_packets", "write_m4a"]
+__all__ = [
+    "ChannelSpec",
+    "EncoderSpec",
+    "build_m4a",
+    "encode_packet",
+    "encode_packets",
+    "encode_to_m4a",
+    "encode_wav_to_m4a",
+    "make_packet_config",
+    "write_m4a",
+]

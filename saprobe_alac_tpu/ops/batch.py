@@ -115,18 +115,10 @@ class JaxBatchDecoder:
             return packed_row[: ns * C * 3].tobytes()
         return packed_row[: ns * C].astype("<i4").tobytes()
 
-    def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
-        """Decode a batch to per-packet interleaved LE PCM bytes.
-
-        Raises the oracle's exception for genuinely malformed packets;
-        silently falls back per-packet for streams the device path declines
-        (degenerate widths), keeping output bit-exact either way.
-        """
+    def finish_async(self, handle, packets: Sequence[bytes]) -> list[bytes]:
+        """Materialize a decode_async result into per-packet PCM bytes."""
         cfg = self.config
-        if self._scalar_only:
-            return [scalar_decode_packet(cfg, p)[0] for p in packets]
-
-        packed, err, ns = self.decode_async(packets)
+        packed, err, ns = handle
         packed = np.asarray(packed)
         err = np.asarray(err)
         ns = np.asarray(ns)
@@ -139,3 +131,14 @@ class JaxBatchDecoder:
             else:
                 results.append(self._to_bytes(packed[i], int(ns[i])))
         return results
+
+    def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
+        """Decode a batch to per-packet interleaved LE PCM bytes.
+
+        Raises the oracle's exception for genuinely malformed packets;
+        silently falls back per-packet for streams the device path declines
+        (degenerate widths), keeping output bit-exact either way.
+        """
+        if self._scalar_only:
+            return [scalar_decode_packet(self.config, p)[0] for p in packets]
+        return self.finish_async(self.decode_async(packets), packets)

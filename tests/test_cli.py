@@ -76,3 +76,31 @@ def test_bad_file(tmp_path):
 def test_missing_file():
     r = run_cli("/nonexistent/file.m4a")
     assert r.returncode == 1
+
+
+def test_encode_roundtrip(tmp_path):
+    """alac-encode WAV -> M4A -> alac-decode -> identical WAV payload."""
+    import struct
+
+    from saprobe_alac_tpu.formats import PCMFormat
+    from saprobe_alac_tpu.utils.wav import write_wav
+    from saprobe_alac_tpu.utils.pcmconv import array_to_pcm_bytes
+
+    fmt = PCMFormat(sample_rate=22050, bit_depth=16, channels=2)
+    pcm = music_pcm(5000, 2, 16, seed=33)
+    wav_in = tmp_path / "in.wav"
+    with open(wav_in, "wb") as f:
+        write_wav(f, fmt, array_to_pcm_bytes(fmt, pcm))
+
+    m4a = tmp_path / "out.m4a"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from saprobe_alac_tpu.cli import encode_main; raise SystemExit(encode_main())",
+         "-frame", "1024", str(wav_in), str(m4a)],
+        capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    out = tmp_path / "rt.pcm"
+    r = run_cli("-format", "pcm", str(m4a), str(out))
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == array_to_pcm_bytes(fmt, pcm)

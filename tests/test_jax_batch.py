@@ -102,3 +102,30 @@ def test_large_batch_bucketing():
     assert len(pkts) == 9  # buckets to 16
     got = get_decoder(cfg).decode_packets(pkts)
     assert got == [oracle(cfg, p)[0] for p in pkts]
+
+
+def test_streaming_facade_with_prefetch():
+    """Decoder(backend='jax') with a small batch size exercises the
+    prefetch pipeline and seek-drops-prefetch."""
+    import io
+
+    from saprobe_alac_tpu import new_decoder
+    from saprobe_alac_tpu.encoder import build_m4a
+
+    from conftest import expected_pcm_bytes
+
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    pcm = music_pcm(FRAME * 7 - 11, 2, 16, seed=30)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    spp = [min(FRAME, pcm.shape[0] - i * FRAME) for i in range(len(pkts))]
+    m4a = build_m4a(cfg, pkts, spp)
+    want = expected_pcm_bytes(pcm, 16)
+
+    dec = new_decoder(io.BytesIO(m4a), backend="jax", batch_size=2)
+    assert dec.read() == want
+
+    dec = new_decoder(io.BytesIO(m4a), backend="jax", batch_size=3)
+    dec.read(100)  # trigger decode + prefetch
+    pos = dec.seek(0.0)  # drops prefetch
+    assert pos == 0.0
+    assert dec.read() == want
