@@ -1,0 +1,121 @@
+"""Profiling and tracing helpers.
+
+TPU analogue of the reference's pprof harness (tests/profile_test.go,
+hack/bench.sh): jax.profiler traces for the device pipeline plus wall-clock
+phase timing for the decode stages.  Use hack/profile.py for the CLI.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class PhaseTimer:
+    """Wall-clock per-phase accounting with blocking boundaries."""
+
+    phases: dict[str, float] = field(default_factory=dict)
+    counts: dict[str, int] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        """Time a phase; ``sync`` (e.g. jax.block_until_ready) runs on the
+        phase result boundary if provided."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                sync()
+            self.phases[name] = self.phases.get(name, 0.0) + time.perf_counter() - t0
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        total = sum(self.phases.values()) or 1.0
+        lines = [f"{'phase':<24}{'total':>10}{'calls':>8}{'share':>8}"]
+        for name, t in sorted(self.phases.items(), key=lambda kv: -kv[1]):
+            lines.append(
+                f"{name:<24}{t*1e3:>8.1f}ms{self.counts[name]:>8}{100*t/total:>7.1f}%"
+            )
+        return "\n".join(lines)
+
+
+def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
+    """Per-phase timing of the device pipeline on a packet batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.batch import _bucket, _decode_batch
+    from ..ops.bitpack import pack_packets
+    from ..ops.epilogue import extract_escape, extract_shift, finish, pack_output
+    from ..ops.lpc import lpc_batch
+    from ..ops.walk import walk_batch
+
+    timer = PhaseTimer()
+    cfg = config
+    F, C = cfg.frame_length, cfg.num_channels
+
+    for _ in range(iters):
+        with timer.phase("host_pack"):
+            words_np, sizes_np = pack_packets(list(packets))
+            Wb = _bucket(words_np.shape[1], floor=16)
+            Bb = _bucket(len(packets))
+            words = np.zeros((Bb, Wb), dtype=np.int32)
+            words[: len(packets), : words_np.shape[1]] = words_np
+            sizes = np.zeros(Bb, dtype=np.int32)
+            sizes[: len(packets)] = sizes_np
+
+        with timer.phase("h2d"):
+            jw = jnp.asarray(words)
+            js = jnp.asarray(sizes)
+            jax.block_until_ready((jw, js))
+
+        with timer.phase("walk"):
+            w = walk_batch(jw, js, F, C, cfg.bit_depth, cfg.pb, cfg.mb, cfg.kb)
+            jax.block_until_ready(tuple(w))
+
+        with timer.phase("escape"):
+            res = extract_escape(jw, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C)
+            jax.block_until_ready(res)
+
+        with timer.phase("lpc"):
+            L = Bb * C
+            mix = lpc_batch(
+                res.reshape(L, F),
+                w.order.reshape(L),
+                w.mode.reshape(L),
+                w.den.reshape(L),
+                w.cb.reshape(L),
+                jnp.repeat(w.ns, C),
+                w.coefs.reshape(L, 32),
+                F,
+            )
+            jax.block_until_ready(mix)
+
+        with timer.phase("epilogue"):
+            sv = extract_shift(jw, w.shift_base, w.bs, w.role, F, C)
+            out = finish(
+                mix.reshape(Bb, C, F), sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, F, C, cfg.bit_depth
+            )
+            packed = pack_output(out, cfg.bit_depth)
+            jax.block_until_ready(packed)
+
+        with timer.phase("d2h"):
+            np.asarray(packed)
+
+    return timer
