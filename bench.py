@@ -2,15 +2,21 @@
 """Benchmark: aggregate ALAC decode throughput per TPU chip.
 
 Headline config (BASELINE.json config 1/5): 44.1 kHz / 16-bit stereo,
-frame length 4096, music-like content, full entropy->predict->unmix pipeline
-on device, host byte packing included.
+frame length 4096, music-like content, full entropy->predict->unmix->pack
+pipeline on device.
 
-Prints ONE JSON line:
-  {"metric": "decode_x_realtime_44k16_stereo", "value": N, "unit": "x_realtime",
-   "vs_baseline": N}
+Reported metrics (stderr has the full table; stdout is ONE JSON line):
+  - value / decode_x_realtime_44k16_stereo: end-to-end sustained throughput,
+    compressed packets in from host, PCM bytes back to host, batches
+    pipelined.  In this sandbox the TPU is behind a loopback tunnel whose
+    bandwidth (measured and printed as link_h2d/link_d2h) can cap this
+    number far below device capability.
+  - device_resident_x_realtime: same pipeline but the decoded PCM is
+    consumed on-device (the TPU-native serving scenario: decoded audio
+    feeding a model on the same chip); only a checksum crosses the link.
 
-vs_baseline divides by 2630x — the reference's strongest comparable number
-(44.1k/16 300s synthetic, single core Apple-silicon; docs/QA.md:124 /
+vs_baseline divides the headline by 2630x — the reference's strongest
+comparable number (44.1k/16 300s synthetic, single core Apple silicon;
 BASELINE.md).  The repo target is >= 500x per chip.
 
 Correctness is asserted (bit-exact vs the encoded source) before timing.
@@ -31,7 +37,12 @@ SECONDS = 4.0
 RATE = 44100
 FRAME = 4096
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))
-ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+DEPTH = int(os.environ.get("BENCH_PIPELINE_DEPTH", "3"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def make_fixture():
@@ -75,76 +86,107 @@ def make_fixture():
     return cfg, packets, pcm
 
 
+def measure_link():
+    """H2D / D2H bandwidth and latency of the host<->device link."""
+    import jax
+    import jax.numpy as jnp
+
+    # Latency: tiny roundtrips.
+    x = jnp.ones((8,), jnp.int32)
+    np.asarray(x + 1)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(x + 1)
+    lat = (time.perf_counter() - t0) / 10
+
+    # Bandwidth: 8 MB each way.
+    big = np.zeros((2 * 1024 * 1024,), np.int32)
+    jnp.asarray(big).block_until_ready()
+    t0 = time.perf_counter()
+    d = jnp.asarray(big)
+    d.block_until_ready()
+    h2d = 8.0 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    d2h = 8.0 / (time.perf_counter() - t0)
+    return lat, h2d, d2h
+
+
+def sustained(dispatch, consume, iters=ITERS, depth=DEPTH):
+    """Sustained pipelined rate: keep `depth` batches in flight."""
+    inflight = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        inflight.append(dispatch())
+        if len(inflight) >= depth:
+            consume(inflight.pop(0))
+    while inflight:
+        consume(inflight.pop(0))
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> int:
     import jax
+    import jax.numpy as jnp
 
     from saprobe_alac_tpu.codec.matrixing import pack_pcm
     from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
-    from saprobe_alac_tpu.ops.walk import ERR_NONE
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    log(f"device: {dev}")
 
     cfg, packets, pcm = make_fixture()
     n_fixture = len(packets)
-    print(f"fixture: {n_fixture} packets, {pcm.shape[0]/RATE:.1f}s audio", file=sys.stderr)
+    log(f"fixture: {n_fixture} packets, {pcm.shape[0]/RATE:.1f}s audio, "
+        f"ratio {sum(map(len, packets))/(pcm.shape[0]*4):.3f}")
 
-    # Tile fixture packets to the benchmark batch (independent streams).
+    lat, h2d, d2h = measure_link()
+    log(f"link: latency {lat*1e3:.2f} ms, H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s")
+
     batch = [packets[i % n_fixture] for i in range(BATCH)]
-    samples_per_batch = BATCH * FRAME
+    audio_seconds = BATCH * FRAME / RATE
 
     dec = JaxBatchDecoder(cfg)
 
     # Correctness gate: decoded PCM must be bit-exact vs the encoder input.
     t0 = time.time()
-    got = dec.decode_packets(batch[: min(BATCH, 16)])
-    print(f"compile+first batch: {time.time()-t0:.1f}s", file=sys.stderr)
+    got = dec.decode_packets(batch[:16])
+    log(f"compile+first batch: {time.time()-t0:.1f}s")
     for i, g in enumerate(got):
         src = pcm[(i % n_fixture) * FRAME : (i % n_fixture + 1) * FRAME]
-        want = pack_pcm(src, cfg.bit_depth)
-        assert g == want, f"bit-exactness failure on packet {i}"
-    print("bit-exactness: OK", file=sys.stderr)
+        assert g == pack_pcm(src, cfg.bit_depth), f"bit-exactness failure on packet {i}"
+    log("bit-exactness: OK")
 
-    # Warm up the full batch shape.
+    # Warm the full batch shape.
     np.asarray(dec.decode_async(batch)[0])
 
-    # Sustained pipelined throughput: keep DEPTH batches in flight so host
-    # packing, H2D, compute and D2H overlap (dispatch is async).
-    DEPTH = 3
-    t_start = time.perf_counter()
-    inflight = []
-    done_batches = 0
-    times = []
-    for it in range(ITERS):
-        t0 = time.perf_counter()
-        inflight.append(dec.decode_async(batch))
-        if len(inflight) >= DEPTH:
-            packed, err, ns = inflight.pop(0)
-            np.asarray(packed)  # consume (D2H)
-            done_batches += 1
-        times.append(time.perf_counter() - t0)
-    while inflight:
-        packed, err, ns = inflight.pop(0)
-        np.asarray(packed)
-        done_batches += 1
-    total = time.perf_counter() - t_start
-    per_batch = total / ITERS
-
-    audio_seconds = samples_per_batch / RATE
-    x_realtime = audio_seconds / per_batch
-    print(
-        f"{ITERS} batches x {BATCH} pkts ({audio_seconds:.1f}s audio each) "
-        f"in {total:.2f}s -> {per_batch*1e3:.1f} ms/batch",
-        file=sys.stderr,
+    # (a) End-to-end: PCM bytes back to host.
+    per_batch_e2e = sustained(
+        lambda: dec.decode_async(batch),
+        lambda h: np.asarray(h[0]),
     )
+    x_e2e = audio_seconds / per_batch_e2e
+    log(f"end-to-end (PCM to host): {per_batch_e2e*1e3:.1f} ms/batch -> {x_e2e:.0f}x realtime")
+
+    # (b) Device-resident: decoded PCM consumed on-device (checksum crosses).
+    csum = jax.jit(lambda p: jnp.sum(p.astype(jnp.int32)))
+    per_batch_dr = sustained(
+        lambda: csum(dec.decode_async(batch)[0]),
+        lambda h: np.asarray(h),
+    )
+    x_dr = audio_seconds / per_batch_dr
+    log(f"device-resident: {per_batch_dr*1e3:.1f} ms/batch -> {x_dr:.0f}x realtime")
 
     print(
         json.dumps(
             {
                 "metric": "decode_x_realtime_44k16_stereo",
-                "value": round(x_realtime, 1),
+                "value": round(x_e2e, 1),
                 "unit": "x_realtime",
-                "vs_baseline": round(x_realtime / 2630.0, 3),
+                "vs_baseline": round(x_e2e / 2630.0, 3),
+                "device_resident_x_realtime": round(x_dr, 1),
+                "link_h2d_MBps": round(h2d, 1),
+                "link_d2h_MBps": round(d2h, 1),
             }
         )
     )
