@@ -53,12 +53,42 @@ class ChannelSpec:
     pb_factor: int = 4
     mode: int = 0  # >0 enables the two-stage delta pre-pass
     coefs: list[int] = field(default_factory=list)
+    fit: bool = True  # least-squares fit initial coefficients per block
 
-    def initial_coefs(self) -> list[int]:
+    def initial_coefs(self, samples: np.ndarray | None = None) -> list[int]:
         if self.coefs:
             return list(self.coefs[: self.order])
+        if self.fit and samples is not None and self.order > 0:
+            fitted = _fit_coefs(samples, self.order, self.den_shift)
+            if fitted is not None:
+                return fitted
         base = (_DEFAULT_COEFS * 4)[: self.order]
         return [c << max(0, self.den_shift - 9) for c in base]
+
+
+def _fit_coefs(samples: np.ndarray, order: int, den_shift: int) -> list[int] | None:
+    """Least-squares LPC fit quantized to int16 at den_shift fixed point.
+
+    The bitstream carries whatever initial coefficients we choose (the
+    adaptive walk tunes them from there), so any values are valid — better
+    initial predictions just shrink the residuals and the packet.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    n = x.shape[0]
+    if n < order * 4 + 8:
+        return None
+    # Predict x[t] - top from lagged differences (the decoder's model:
+    # prediction = top + sum(c_k * (x[t-1-k] - top)) / 2^den_shift).
+    top = x[: n - order - 1]
+    target = x[order + 1 :] - top
+    cols = [x[order - k : n - 1 - k] - top for k in range(order)]
+    A = np.stack(cols, axis=1)
+    try:
+        sol, *_ = np.linalg.lstsq(A, target, rcond=None)
+    except np.linalg.LinAlgError:
+        return None
+    q = np.clip(np.round(sol * (1 << den_shift)), -30000, 30000).astype(np.int64)
+    return [int(v) for v in q]
 
 
 @dataclass
@@ -261,7 +291,7 @@ def _encode_channel_body(
     order = spec.order
     if not 0 <= order <= 31:
         raise ValueError(f"order {order} not representable in the 5-bit numCoefs field")
-    coefs = spec.initial_coefs()
+    coefs = spec.initial_coefs(np.asarray(samples) if order not in (0, 31) else None)
     header.write((spec.mode << 4) | spec.den_shift, 8)
     header.write((spec.pb_factor << 5) | order, 8)
     for c in coefs:
