@@ -99,7 +99,8 @@ class EncoderSpec:
     mix_bits: int = 1
     mix_res: int = 1  # 0 disables stereo decorrelation
     bytes_shifted: int = 0  # 0..2; >0 exercises the shift-buffer path
-    escape: bool = False  # raw (uncompressed) elements
+    escape: bool = False  # force raw (uncompressed) elements
+    auto_escape: bool = True  # pick escape when it is smaller (noise-like blocks)
     use_lfe_tag: bool = True  # tag the LFE channel as LFE instead of SCE
 
 
@@ -372,38 +373,52 @@ def encode_packet(
         if width == 1:
             tag = 3 if (spec.use_lfe_tag and chan_idx == lfe_idx) else 0  # LFE : SCE
             samples = pcm[:, offsets[chan_idx]]
-            _encode_sce(config, spec, writer, tag, samples, partial, num_samples)
+            elem = _encode_sce(config, spec, tag, samples, partial, num_samples)
             chan_idx += 1
         else:
             left = pcm[:, offsets[chan_idx]]
             right = pcm[:, offsets[chan_idx] + 1]
-            _encode_cpe(config, spec, writer, left, right, partial, num_samples)
+            elem = _encode_cpe(config, spec, left, right, partial, num_samples)
             chan_idx += 2
+        _append(writer, elem)
 
     writer.write(7, 3)  # END
     writer.byte_align()
     return writer.getvalue()
 
 
+def _pick(compressed: BitWriter, escaped: BitWriter, spec: EncoderSpec) -> BitWriter:
+    """Escape the element when forced, or when raw is smaller (auto_escape).
+
+    Mirrors real encoders' verbatim fallback: incompressible (noise-like)
+    blocks come out as raw chan_bits-wide samples.
+    """
+    if spec.escape:
+        return escaped
+    if spec.auto_escape and escaped.bit_length < compressed.bit_length:
+        return escaped
+    return compressed
+
+
 def _encode_sce(
     config: PacketConfig,
     spec: EncoderSpec,
-    writer: BitWriter,
     tag: int,
     samples: np.ndarray,
     partial: bool,
     num_samples: int,
-) -> None:
+) -> BitWriter:
     depth = config.bit_depth
     samples = samples.astype(np.int64)
 
+    escaped = BitWriter()
+    _write_element_header(escaped, tag, partial, 0, 1, num_samples)
+    for x in samples:
+        escaped.write(int(x) & ((1 << depth) - 1), depth)
     if spec.escape:
-        _write_element_header(writer, tag, partial, 0, 1, num_samples)
-        chan_bits = depth
-        for x in samples:
-            writer.write(int(x) & ((1 << chan_bits) - 1), chan_bits)
-        return
+        return escaped
 
+    writer = BitWriter()
     bytes_shifted = spec.bytes_shifted if depth > 16 else 0
     chan_bits = depth - bytes_shifted * 8
     _write_element_header(writer, tag, partial, bytes_shifted, 0, num_samples)
@@ -419,28 +434,29 @@ def _encode_sce(
         for x in low:
             writer.write(int(x), width)
     _append(writer, body)
+    return _pick(writer, escaped, spec)
 
 
 def _encode_cpe(
     config: PacketConfig,
     spec: EncoderSpec,
-    writer: BitWriter,
     left: np.ndarray,
     right: np.ndarray,
     partial: bool,
     num_samples: int,
-) -> None:
+) -> BitWriter:
     depth = config.bit_depth
 
+    escaped = BitWriter()
+    _write_element_header(escaped, 1, partial, 0, 1, num_samples)
+    mask = (1 << depth) - 1
+    for l, r in zip(left.astype(np.int64), right.astype(np.int64)):
+        escaped.write(int(l) & mask, depth)
+        escaped.write(int(r) & mask, depth)
     if spec.escape:
-        _write_element_header(writer, 1, partial, 0, 1, num_samples)
-        chan_bits = depth
-        mask = (1 << chan_bits) - 1
-        for l, r in zip(left.astype(np.int64), right.astype(np.int64)):
-            writer.write(int(l) & mask, chan_bits)
-            writer.write(int(r) & mask, chan_bits)
-        return
+        return escaped
 
+    writer = BitWriter()
     bytes_shifted = spec.bytes_shifted if depth > 16 else 0
     if depth == 32:
         # chanBits = 32 - 0 + 1 = 33 hits degenerate Go shift saturation in the
@@ -471,6 +487,7 @@ def _encode_cpe(
 
     _append(writer, body_u)
     _append(writer, body_v)
+    return _pick(writer, escaped, spec)
 
 
 def _append(dst: BitWriter, src: BitWriter) -> None:
