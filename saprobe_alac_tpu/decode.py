@@ -177,3 +177,22 @@ class Decoder:
 def new_decoder(reader: BinaryIO, backend: str = "auto", batch_size: int = 64) -> Decoder:
     """Open an M4A/MP4 stream containing ALAC audio (reference NewDecoder)."""
     return Decoder(reader, backend=backend, batch_size=batch_size)
+
+
+def decode_file(path_or_reader, backend: str = "auto"):
+    """Convenience: decode a whole M4A to (PCMFormat, (n, channels) int array).
+
+    Accepts a path or a binary file object.
+    """
+    import numpy as np
+
+    from .utils.pcmconv import pcm_bytes_to_array
+
+    if hasattr(path_or_reader, "read"):
+        dec = Decoder(path_or_reader, backend=backend)
+        fmt = dec.format()
+        return fmt, pcm_bytes_to_array(fmt, dec.read())
+    with open(path_or_reader, "rb") as f:
+        dec = Decoder(f, backend=backend)
+        fmt = dec.format()
+        return fmt, pcm_bytes_to_array(fmt, dec.read())

@@ -82,9 +82,17 @@ class BatchDecoder:
 
     def _jax(self):
         if self._jax_impl is None:
-            from .ops.batch import JaxBatchDecoder
+            import jax
 
-            self._jax_impl = JaxBatchDecoder(self.config)
+            if len(jax.devices()) > 1:
+                # Multi-chip: shard the packet axis over the mesh.
+                from .parallel import ShardedBatchDecoder
+
+                self._jax_impl = ShardedBatchDecoder(self.config)
+            else:
+                from .ops.batch import JaxBatchDecoder
+
+                self._jax_impl = JaxBatchDecoder(self.config)
         return self._jax_impl
 
     def decode_packets(self, packets: Sequence[bytes]) -> list[bytes]:
