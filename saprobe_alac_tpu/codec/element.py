@@ -18,7 +18,7 @@ from ..errors import (
     SampleOverrun,
     UnsupportedElement,
 )
-from ..formats import bytes_per_sample
+
 from .bitcursor import BitCursor
 from .golomb import AGParams, dyn_decomp
 from .intops import s16, s32, sext

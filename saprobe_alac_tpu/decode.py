@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from typing import BinaryIO
 
-from .config import PacketConfig, parse_magic_cookie
+from .config import parse_magic_cookie
 from .decoder import BatchDecoder, PacketDecoder
-from .formats import PCMFormat, bytes_per_sample
+from .formats import PCMFormat
 from .mp4 import SampleInfo, find_alac_track
 
 
@@ -184,7 +184,7 @@ def decode_file(path_or_reader, backend: str = "auto"):
 
     Accepts a path or a binary file object.
     """
-    import numpy as np
+
 
     from .utils.pcmconv import pcm_bytes_to_array
 

@@ -11,12 +11,12 @@ is available or a packet fails on-device validation.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from .codec import decode_packet as _scalar_decode_packet
 from .config import PacketConfig
 from .errors import UnsupportedBitDepth
-from .formats import ALAC_BIT_DEPTHS, PCMFormat, bytes_per_sample
+from .formats import ALAC_BIT_DEPTHS, PCMFormat
 
 
 class PacketDecoder:

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .jaxint import I32, U32, s, sext, sext16, sshr, u
+from .jaxint import I32, s, sext, sext16, sshr, u
 
 #: Orders whose reference kernels keep int32 (non-wrapping) coef accumulation
 #: (predictor.go:99-618); all other orders wrap coefs to int16 per step.

@@ -18,11 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codec import decode_packet as scalar_decode_packet
+
 from ..config import PacketConfig
 from ..ops.batch import JaxBatchDecoder, _bucket, _decode_batch
 from ..ops.bitpack import pack_packets
-from ..ops.walk import ERR_NONE
+
 
 PACKET_AXIS = "packets"
 

@@ -60,7 +60,7 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..ops.batch import _bucket, _decode_batch
+    from ..ops.batch import _bucket
     from ..ops.bitpack import pack_packets
     from ..ops.epilogue import extract_escape, extract_shift, finish, pack_output
     from ..ops.lpc import lpc_batch
