@@ -87,6 +87,7 @@ def encode_main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("-version", "--version", action="version", version=f"alac-encode {__version__}")
     parser.add_argument("-frame", "--frame", type=int, default=4096, help="samples per packet")
+    parser.add_argument("-container", "--container", choices=("m4a", "caf"), default="m4a")
     parser.add_argument("input", help="input .wav file, or '-' for stdin")
     parser.add_argument("output", nargs="?", help="output .m4a (default: stdout)")
     args = parser.parse_args(argv)
@@ -103,7 +104,7 @@ def encode_main(argv: list[str] | None = None) -> int:
             return 1
 
     try:
-        m4a = encode_wav_to_m4a(reader, frame_length=args.frame)
+        m4a = encode_wav_to_m4a(reader, frame_length=args.frame, container=args.container)
     except (ValueError, AlacError) as exc:
         print(f"alac-encode: {exc}", file=sys.stderr)
         return 1

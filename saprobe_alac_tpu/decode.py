@@ -32,8 +32,16 @@ class Decoder:
         batch_size: int = 64,
     ):
         """backend: "auto"/"native"/"scalar" decode on host per packet;
-        "jax" decodes packet batches on the accelerator."""
-        cookie, samples = find_alac_track(reader)
+        "jax" decodes packet batches on the accelerator.
+
+        The container is sniffed automatically: MP4/M4A (reference parity)
+        or CAF (a capability the reference lacks, README.md:32-36)."""
+        from .caf import find_alac_track_caf, sniff_container
+
+        if sniff_container(reader) == "caf":
+            cookie, samples = find_alac_track_caf(reader)
+        else:
+            cookie, samples = find_alac_track(reader)
         config = parse_magic_cookie(cookie)
 
         self._reader = reader

@@ -52,12 +52,17 @@ def encode_to_m4a(
     samples: np.ndarray,
     frame_length: int = DEFAULT_FRAME_LENGTH,
     spec: EncoderSpec | None = None,
+    container: str = "m4a",
 ) -> bytes:
-    """Encode (n, channels) integer samples into a complete M4A file."""
+    """Encode (n, channels) integer samples into an M4A or CAF file."""
     config = make_packet_config(fmt, frame_length=frame_length)
     packets = encode_packets(config, spec or EncoderSpec(), samples)
     n = samples.shape[0]
     spp = [min(frame_length, n - i * frame_length) for i in range(len(packets))]
+    if container == "caf":
+        from ..caf import build_caf
+
+        return build_caf(config, packets, spp)
     return build_m4a(config, packets, spp)
 
 
@@ -65,8 +70,9 @@ def encode_wav_to_m4a(
     wav: BinaryIO,
     frame_length: int = DEFAULT_FRAME_LENGTH,
     spec: EncoderSpec | None = None,
+    container: str = "m4a",
 ) -> bytes:
-    """Encode a PCM WAV stream into an ALAC M4A file."""
+    """Encode a PCM WAV stream into an ALAC M4A (or CAF) file."""
     fmt, data = read_wav(wav)
     samples = pcm_bytes_to_array(fmt, data)
-    return encode_to_m4a(fmt, samples, frame_length=frame_length, spec=spec)
+    return encode_to_m4a(fmt, samples, frame_length=frame_length, spec=spec, container=container)
