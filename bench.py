@@ -125,7 +125,41 @@ def sustained(dispatch, consume, iters=ITERS, depth=DEPTH):
     return (time.perf_counter() - t0) / iters
 
 
+def _device_watchdog(timeout_s: float) -> bool:
+    """True if the device answers a trivial op within timeout (the sandbox
+    TPU sits behind a tunnel that can wedge; fail fast instead of hanging)."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        jnp.ones((4,), jnp.int32).block_until_ready()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
+
+
 def main() -> int:
+    if not _device_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "240"))):
+        log("ERROR: accelerator unreachable (tunnel down?)")
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_x_realtime_44k16_stereo",
+                    "value": 0,
+                    "unit": "x_realtime",
+                    "vs_baseline": 0,
+                    "error": "device_unreachable",
+                }
+            )
+        )
+        return 1
+
     import jax
     import jax.numpy as jnp
 
