@@ -505,10 +505,26 @@ def encode_packets(
     config: PacketConfig,
     spec: EncoderSpec,
     pcm: np.ndarray,
+    backend: str = "auto",
 ) -> list[bytes]:
-    """Encode (total_samples, channels) PCM into a list of packets."""
+    """Encode (total_samples, channels) PCM into a list of packets.
+
+    backend "auto" uses the C++ native encoder when available (identical
+    format, ~100x faster); "python" forces the pure-Python reference
+    encoder (which fits coefficients per channel instead of per packet).
+    """
     total = pcm.shape[0]
     frame = config.frame_length
+
+    if backend == "auto":
+        from .. import native
+
+        if native.available():
+            return [
+                native.encode_packet(config, spec, pcm[start : start + frame])
+                for start in range(0, total, frame)
+            ]
+
     packets = []
     for start in range(0, total, frame):
         packets.append(encode_packet(config, spec, pcm[start : start + frame]))

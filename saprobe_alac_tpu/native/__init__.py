@@ -28,6 +28,7 @@ from ..formats import bytes_per_sample
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 _SRC = _REPO_ROOT / "native" / "alac_core.cpp"
+_SRC_ENC = _REPO_ROOT / "native" / "alac_encode.cpp"
 _SO = Path(__file__).resolve().parent / "_alac_core.so"
 
 _lock = threading.Lock()
@@ -55,6 +56,22 @@ class _ConfigC(ctypes.Structure):
     ]
 
 
+class _EncSpecC(ctypes.Structure):
+    _fields_ = [
+        ("order", ctypes.c_int32),
+        ("den_shift", ctypes.c_int32),
+        ("pb_factor", ctypes.c_int32),
+        ("mode", ctypes.c_int32),
+        ("mix_bits", ctypes.c_int32),
+        ("mix_res", ctypes.c_int32),
+        ("bytes_shifted", ctypes.c_int32),
+        ("force_escape", ctypes.c_int32),
+        ("auto_escape", ctypes.c_int32),
+        ("use_lfe_tag", ctypes.c_int32),
+        ("coefs", ctypes.c_int16 * 32),
+    ]
+
+
 def _build() -> str | None:
     """Compile the shared library; returns an error string or None."""
     if not _SRC.exists():
@@ -69,6 +86,7 @@ def _build() -> str | None:
         "-o",
         str(_SO),
         str(_SRC),
+        str(_SRC_ENC),
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -84,7 +102,11 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not _SO.exists() or (_SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime):
+        stale = _SO.exists() and any(
+            src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
+            for src in (_SRC, _SRC_ENC)
+        )
+        if not _SO.exists() or stale:
             _build_error = _build()
             if _build_error is not None:
                 return None
@@ -101,6 +123,15 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.alac_encode_packet.restype = ctypes.c_int32
+        lib.alac_encode_packet.argtypes = [
+            ctypes.POINTER(_ConfigC),
+            ctypes.POINTER(_EncSpecC),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
         ]
         lib.alac_decode_batch.restype = ctypes.c_int32
         lib.alac_decode_batch.argtypes = [
@@ -202,3 +233,50 @@ def decode_batch(
         n_threads,
     )
     return out, lens, errs
+
+
+def encode_packet(config: PacketConfig, spec, samples: np.ndarray) -> bytes:
+    """Encode one packet via the native core.
+
+    ``spec`` is an encoder.EncoderSpec; ``samples`` is (ns, channels)
+    integer PCM in SMPTE order.  Initial LPC coefficients are fitted here
+    (cheap) and passed in; the per-sample loops run natively.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+
+    from ..encoder.encode import ChannelSpec
+
+    ch: ChannelSpec = spec.channel
+    coefs = ch.initial_coefs(samples[:, 0].astype(np.int64) if ch.order not in (0, 31) else None)
+    c_arr = (ctypes.c_int16 * 32)(*([int(c) for c in coefs] + [0] * (32 - len(coefs))))
+    sp = _EncSpecC(
+        order=ch.order,
+        den_shift=ch.den_shift,
+        pb_factor=ch.pb_factor,
+        mode=ch.mode,
+        mix_bits=max(spec.mix_bits, 1),
+        mix_res=spec.mix_res,
+        bytes_shifted=spec.bytes_shifted,
+        force_escape=int(spec.escape),
+        auto_escape=int(spec.auto_escape),
+        use_lfe_tag=int(spec.use_lfe_tag),
+        coefs=c_arr,
+    )
+    ns, channels = samples.shape
+    flat = np.ascontiguousarray(samples.astype(np.int32).reshape(-1))
+    # Worst case: escape elements (depth+1 bits per sample) + headers.
+    cap = (ns * channels * (config.bit_depth + 8)) // 8 + 256 * channels
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.alac_encode_packet(
+        ctypes.byref(_config_c(config)),
+        ctypes.byref(sp),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ns,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if rc < 0:
+        raise ValueError(f"native encode failed with code {rc}")
+    return out[:rc].tobytes()
