@@ -53,7 +53,7 @@ class Decoder:
         self._eof = False
         self._batch_size = max(1, batch_size)
 
-        if backend != "jax" or self._batch_size == 1:
+        if backend not in ("jax", "native") or self._batch_size == 1:
             self._packet_dec = PacketDecoder(config, backend=backend if backend != "jax" else "auto")
             self._batch_dec = None
         else:
@@ -154,8 +154,15 @@ class Decoder:
             self._sample_idx += 1
             return
 
-        impl = self._batch_dec._jax()
         count = min(self._batch_size, len(self._samples) - self._sample_idx)
+        if self._batch_dec.backend == "native":
+            packets = self._read_packets(self._sample_idx, count)
+            self._buf = b"".join(self._batch_dec.decode_packets(packets))
+            self._buf_off = 0
+            self._sample_idx += count
+            return
+
+        impl = self._batch_dec._jax()
         if impl._scalar_only:
             packets = self._read_packets(self._sample_idx, count)
             self._buf = b"".join(impl.decode_packets(packets))

@@ -101,4 +101,20 @@ class BatchDecoder:
             return []
         if self.backend == "scalar":
             return [_scalar_decode_packet(self.config, p)[0] for p in packets]
+        if self.backend == "native":
+            return self._decode_native(packets)
         return self._jax().decode_packets(packets)
+
+    def _decode_native(self, packets: Sequence[bytes]) -> list[bytes]:
+        """Threaded host batch decode via the C++ core; per-packet scalar
+        fallback reproduces the oracle's exact error surface."""
+        from . import native
+
+        out, lens, errs = native.decode_batch(self.config, list(packets))
+        results: list[bytes] = []
+        for i, packet in enumerate(packets):
+            if errs[i] != 0:
+                results.append(_scalar_decode_packet(self.config, packet)[0])
+            else:
+                results.append(out[i, : lens[i]].tobytes())
+        return results

@@ -88,3 +88,21 @@ def test_packet_decoder_auto_backend():
     pcm = music_pcm(256, 2, 16, seed=5)
     pkt = encode_packet(cfg, EncoderSpec(), pcm)
     assert dec.decode_packet(pkt) == oracle(cfg, pkt)[0]
+
+
+def test_streaming_facade_native_batched():
+    """Decoder(backend='native') batches through the threaded C++ core."""
+    import io
+
+    from saprobe_alac_tpu import new_decoder
+    from saprobe_alac_tpu.encoder import EncoderSpec, build_m4a, encode_packets
+
+    from conftest import expected_pcm_bytes
+
+    cfg = make_config(frame_length=512)
+    pcm = music_pcm(512 * 5 - 100, 2, 16, seed=88)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    spp = [min(512, pcm.shape[0] - i * 512) for i in range(len(pkts))]
+    m4a = build_m4a(cfg, pkts, spp)
+    dec = new_decoder(io.BytesIO(m4a), backend="native", batch_size=3)
+    assert dec.read() == expected_pcm_bytes(pcm, 16)
