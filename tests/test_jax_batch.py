@@ -129,3 +129,29 @@ def test_streaming_facade_with_prefetch():
     pos = dec.seek(0.0)  # drops prefetch
     assert pos == 0.0
     assert dec.read() == want
+
+
+def test_mixed_divergent_batch():
+    """One device batch mixing compressed, escape, delta-mode, partial and
+    silent packets: lanes diverge in element type, bit consumption and
+    zero-run behavior within the same lockstep program."""
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    specs = [
+        EncoderSpec(),
+        EncoderSpec(escape=True),
+        EncoderSpec(channel=ChannelSpec(order=31)),
+        EncoderSpec(channel=ChannelSpec(order=0)),
+        EncoderSpec(channel=ChannelSpec(order=12, mode=1)),
+        EncoderSpec(mix_res=0),
+    ]
+    pkts = []
+    for i, spec in enumerate(specs):
+        pcm = music_pcm(FRAME, 2, 16, seed=100 + i, tonality=0.9 if i % 2 else 0.1)
+        pkts.append(encode_packets(cfg, spec, pcm)[0])
+    # a silent packet (deep zero runs) and a partial frame
+    pkts.append(encode_packets(cfg, EncoderSpec(), np.zeros((FRAME, 2), dtype=np.int64))[0])
+    pkts.append(encode_packets(cfg, EncoderSpec(), music_pcm(FRAME // 3, 2, 16, seed=7))[0])
+
+    got = get_decoder(cfg).decode_packets(pkts)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    assert got == want
