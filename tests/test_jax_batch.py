@@ -155,3 +155,15 @@ def test_mixed_divergent_batch():
     got = get_decoder(cfg).decode_packets(pkts)
     want = [oracle(cfg, p)[0] for p in pkts]
     assert got == want
+
+
+def test_tiny_partial_frames_device():
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    pkts = []
+    for n, order in ((1, 12), (3, 12), (2, 31), (13, 12)):
+        pcm = music_pcm(n, 2, 16, seed=n + order)
+        pkts.append(
+            encode_packets(cfg, EncoderSpec(channel=ChannelSpec(order=order, fit=False)), pcm)[0]
+        )
+    got = get_decoder(cfg).decode_packets(pkts)
+    assert got == [oracle(cfg, p)[0] for p in pkts]

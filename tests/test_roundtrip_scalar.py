@@ -135,3 +135,12 @@ def test_multi_packet_stream():
         total += ns
     assert total == pcm.shape[0]
     assert out == expected_pcm_bytes(pcm, 16)
+
+
+@pytest.mark.parametrize("n,order", ((1, 12), (3, 12), (5, 4), (2, 31), (13, 12)))
+def test_tiny_partial_frames_high_order(n, order):
+    """Partial frames shorter than the predictor order: warm-up covers the
+    whole frame (boundary of predictor.go:76-79)."""
+    cfg = make_config(depth=16, channels=2, frame_length=4096)
+    pcm = music_pcm(n, 2, 16, seed=n * 7 + order)
+    roundtrip(cfg, EncoderSpec(channel=ChannelSpec(order=order, fit=False)), pcm)
