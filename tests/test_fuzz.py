@@ -105,3 +105,52 @@ def test_fuzz_mutated_packets_jax():
         if got != want[1]:
             wrong.append((i, "device output mismatch", len(got)))
     assert not wrong, wrong[:5]
+
+
+@pytest.mark.skipif(not native.available(), reason="no C++ toolchain")
+@pytest.mark.parametrize("depth,channels,bs", ((24, 2, 1), (32, 2, 2), (16, 6, 0), (24, 8, 1), (20, 1, 0)))
+def test_fuzz_mutated_other_configs_native(depth, channels, bs):
+    """Mutation fuzzing across depths/channels/shift configs (native vs oracle)."""
+    cfg = make_config(depth=depth, channels=channels, frame_length=96)
+    pcm = music_pcm(96, channels, depth, seed=depth * 3 + channels)
+    base = bytearray(encode_packet(cfg, EncoderSpec(bytes_shifted=bs), pcm))
+    rng = np.random.default_rng(depth * 100 + channels)
+    bad = []
+    for trial in range(150):
+        pkt = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            pos = int(rng.integers(0, len(pkt)))
+            pkt[pos] ^= 1 << int(rng.integers(0, 8))
+        pkt = bytes(pkt)
+        want = oracle_outcome(cfg, pkt)
+        got = native_outcome(cfg, pkt)
+        if want[0] != got[0] or (want[0] == "ok" and want != got):
+            bad.append((trial, want[0], got[0]))
+    assert not bad, bad[:5]
+
+
+def test_fuzz_mutated_hires_jax():
+    """Device-path mutation fuzzing on the 24-bit shift-buffer config."""
+    cfg = make_config(depth=24, channels=2, frame_length=96)
+    pcm = music_pcm(96, 2, 24, seed=9)
+    base = bytearray(encode_packet(cfg, EncoderSpec(bytes_shifted=1), pcm))
+    rng = np.random.default_rng(777)
+    packets = []
+    for _ in range(48):
+        pkt = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(pkt)))
+            pkt[pos] ^= 1 << int(rng.integers(0, 8))
+        packets.append(bytes(pkt))
+    dec = JaxBatchDecoder(cfg)
+    packed, err, ns = (np.asarray(x) for x in dec.decode_async(packets))
+    wrong = []
+    for i, pkt in enumerate(packets):
+        want = oracle_outcome(cfg, pkt)
+        if err[i] != 0:
+            continue
+        if want[0] != "ok":
+            wrong.append((i, "device ok but oracle errored", want[1]))
+        elif dec._to_bytes(packed[i], int(ns[i])) != want[1]:
+            wrong.append((i, "device output mismatch"))
+    assert not wrong, wrong[:5]
