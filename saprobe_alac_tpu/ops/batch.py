@@ -85,8 +85,9 @@ class JaxBatchDecoder:
         self.config = config
         self._bps_frame = bytes_per_sample(config.bit_depth) * config.num_channels
         # Degenerate entropy tuning (kb == 0) relies on Go uint32 bit-position
-        # wrap semantics; route such streams to the scalar oracle wholesale.
-        self._scalar_only = config.kb == 0
+        # wrap semantics, and absurd frame lengths would blow device memory;
+        # route such streams to the scalar oracle wholesale.
+        self._scalar_only = config.kb == 0 or not 1 <= config.frame_length <= (1 << 16)
 
     def _stage(self, packets: Sequence[bytes]):
         """Host packing + padding to bucketed shapes."""
