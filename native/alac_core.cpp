@@ -55,11 +55,22 @@ static inline int32_t lg3a(uint32_t x) { return 31 - lead_zeros(x + 3u); }
 struct Cursor {
   const uint8_t* data;  // padded: size + >=8 zero bytes
   int64_t size_bits;
+  int64_t pad_bytes;  // total buffer length incl. zero pad
+
   int64_t pos = 0;
+
+  // Clamp a byte offset so 5-byte window loads stay in the padded buffer.
+  // Reads steered into the pad see zeros; reads clamped from beyond return
+  // pad zeros too, and the decode loops' overrun checks surface the error.
+  int64_t clamp(int64_t byteoff) const {
+    if (byteoff < 0) return 0;
+    int64_t m = pad_bytes - 5;
+    return byteoff > m ? m : byteoff;
+  }
 
   // True 32 stream bits at an absolute bit position.
   uint32_t window32(int64_t bitpos) const {
-    int64_t byteoff = bitpos >> 3;
+    int64_t byteoff = clamp(bitpos >> 3);
     uint32_t sh = static_cast<uint32_t>(bitpos & 7);
     uint64_t w = (static_cast<uint64_t>(data[byteoff]) << 32) |
                  (static_cast<uint64_t>(data[byteoff + 1]) << 24) |
@@ -87,7 +98,7 @@ static inline uint32_t get_stream_bits(const Cursor& c, int64_t bitpos, uint32_t
   }
   // nbits == 33: Go's saturating shifts zero the high part; only the low
   // (bitpos&7)+1 bits of the 5th byte survive.
-  int64_t byteoff = bitpos >> 3;
+  int64_t byteoff = c.clamp(bitpos >> 3);
   uint32_t b = static_cast<uint32_t>(bitpos & 7);
   return static_cast<uint32_t>(c.data[byteoff + 4]) >> (7 - b);
 }
@@ -271,6 +282,9 @@ static void write_channel(uint8_t* out, const int32_t* vals,
                           const uint16_t* shift_vals, int shift_stride,
                           int bytes_shifted, int32_t n, int out_chan,
                           int num_chan, uint32_t depth) {
+  // Only the 24/32-bit writers re-insert shift bits (matrix.go:220-301);
+  // the 16/20-bit writers ignore bytesShifted.
+  if (depth < 24) bytes_shifted = 0;
   const int bps = bytes_per_sample(depth);
   const int stride = num_chan * bps;
   uint8_t* p = out + out_chan * bps;
@@ -347,6 +361,10 @@ static int32_t decode_channels(const Config& cfg, Cursor& cur, Scratch& s,
     }
   } else {
     if (pair) chan_bits = cfg.bit_depth;  // escape reset (decoder.go:388)
+    // Pre-check the whole raw region (the reference reads sample-by-sample
+    // and crashes past the buffer; we error instead).
+    const int64_t needed = static_cast<int64_t>(chan_bits) * ns * (pair ? 2 : 1);
+    if (cur.pos + needed > cur.size_bits) return ERR_OVERRUN;
     for (int32_t i = 0; i < ns; ++i) {
       s.u[i] = sext_bits(static_cast<int32_t>(cur.read(chan_bits)), chan_bits);
       if (pair) s.v[i] = sext_bits(static_cast<int32_t>(cur.read(chan_bits)), chan_bits);
@@ -421,7 +439,8 @@ int32_t decode_packet_impl(const Config& cfg, const uint8_t* packet,
   s.v.resize(F);
   s.shift.resize(2 * F);
 
-  Cursor cur{s.padded.data(), static_cast<int64_t>(packet_len) * 8};
+  Cursor cur{s.padded.data(), static_cast<int64_t>(packet_len) * 8,
+             static_cast<int64_t>(s.padded.size())};
 
   uint32_t num_samples = F;
   uint32_t chan = 0;

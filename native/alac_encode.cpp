@@ -229,7 +229,8 @@ static void encode_element(BitSink& dst, const EncConfig& cfg, const EncSpec& sp
   }
 
   // Compressed variant.
-  int bs = depth > 16 ? sp.bytes_shifted : 0;
+  // Shift bits are only re-inserted by the 24/32-bit writers (matrix.go).
+  int bs = depth >= 24 ? sp.bytes_shifted : 0;
   if (pair && depth == 32 && bs == 0) bs = 1;  // avoid degenerate chanBits=33
   const uint32_t chan_bits = depth - bs * 8 + (pair ? 1 : 0);
   const uint32_t shift = bs * 8;
@@ -261,11 +262,24 @@ static void encode_element(BitSink& dst, const EncConfig& cfg, const EncSpec& sp
     mix_bits = mix_res != 0 ? sp.mix_bits : 0;
     if (mix_res != 0) {
       // Inverse of unmix: v = l - r; u = r + ((mix_res * v) >> mix_bits).
+      // Decorrelated values must fit chan_bits (the decoder sign-extends),
+      // else fall back to independent channels for losslessness.
+      const int64_t lim = 1ll << (chan_bits - 1);
+      bool overflow = false;
+      std::vector<int32_t> u0(ns), v0(ns);
       for (int32_t i = 0; i < ns; ++i) {
         int64_t v = static_cast<int64_t>(h0[i]) - h1[i];
         int64_t u = h1[i] + ((static_cast<int64_t>(mix_res) * v) >> mix_bits);
-        h0[i] = static_cast<int32_t>(u);
-        h1[i] = static_cast<int32_t>(v);
+        if (u >= lim || u < -lim || v >= lim || v < -lim) { overflow = true; break; }
+        u0[i] = static_cast<int32_t>(u);
+        v0[i] = static_cast<int32_t>(v);
+      }
+      if (overflow) {
+        mix_res = 0;
+        mix_bits = 0;
+      } else {
+        h0.swap(u0);
+        h1.swap(v0);
       }
     }
   }

@@ -44,6 +44,8 @@ def _read_chunks(reader: BinaryIO) -> dict[bytes, tuple[int, int]]:
         size = struct.unpack(">q", hdr[4:])[0]
         if size == -1:  # audio data chunk extends to EOF
             size = file_end - pos - 12
+        if size < 0:  # malformed; also guards the walker's forward progress
+            raise NoAlacTrack(f"CAF chunk {ctype!r} has invalid size {size}")
         if ctype not in chunks:  # first wins (spec: one desc/kuki/pakt)
             chunks[ctype] = (pos + 12, size)
         reader.seek(pos + 12 + size)

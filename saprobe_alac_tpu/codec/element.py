@@ -201,11 +201,18 @@ def _decode_sce(
                 [shift_cursor.read(width) for _ in range(num_samples)], dtype=np.int64
             )
     else:
+        # The reference reads sample-by-sample and crashes past the buffer;
+        # we pre-check the whole raw region and raise instead.
+        if bits.bitpos + chan_bits * num_samples > bits.size * 8:
+            raise BitstreamOverrun("escape data region past packet end")
         mix_u = [_read_escape_value(bits, chan_bits) for _ in range(num_samples)]
         bytes_shifted = 0
 
     vals = np.asarray(mix_u, dtype=np.int64)
-    vals = apply_shift(vals, shift_vals, bytes_shifted)
+    if depth in (24, 32):
+        # Only the 24/32-bit writers re-insert shift bits; the 16/20-bit
+        # writers ignore bytesShifted entirely (matrix.go:220-250 vs 253-301).
+        vals = apply_shift(vals, shift_vals, bytes_shifted)
     vals = format_samples(vals, depth)
     planes[:num_samples, out_chan] = vals
     return num_samples
@@ -256,6 +263,8 @@ def _decode_cpe(
             shift_v = pairs[1::2]
     else:
         chan_bits = depth  # reset for escape (decoder.go:388)
+        if bits.bitpos + chan_bits * 2 * num_samples > bits.size * 8:
+            raise BitstreamOverrun("escape data region past packet end")
         mix_u = []
         mix_v = []
         for _ in range(num_samples):
@@ -266,8 +275,10 @@ def _decode_cpe(
     u = np.asarray(mix_u, dtype=np.int64)
     v = np.asarray(mix_v, dtype=np.int64)
     left, right = unmix_stereo(u, v, mix_bits, mix_res)
-    left = apply_shift(left, shift_u, bytes_shifted)
-    right = apply_shift(right, shift_v, bytes_shifted)
+    if depth in (24, 32):
+        # 16/20-bit writers ignore the shift buffer (matrix.go:30-105).
+        left = apply_shift(left, shift_u, bytes_shifted)
+        right = apply_shift(right, shift_v, bytes_shifted)
     left = format_samples(left, depth)
     right = format_samples(right, depth)
     planes[:num_samples, out_chan] = left

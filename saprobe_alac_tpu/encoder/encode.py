@@ -315,7 +315,10 @@ def _encode_channel_body(
     )
     body = ag_encode(ag, stream_res, chan_bits)
     if body is None:
-        raise ValueError("residual not representable (internal error)")
+        # A residual doesn't fit the escape width; callers fall back to the
+        # verbatim element.  Unreachable given minimal-representative
+        # residuals + the mix-overflow guard, but kept as belt-and-braces.
+        return None
     return header, body
 
 
@@ -419,14 +422,19 @@ def _encode_sce(
         return escaped
 
     writer = BitWriter()
-    bytes_shifted = spec.bytes_shifted if depth > 16 else 0
+    # Shift-buffer bits are only re-inserted by the 24/32-bit writers
+    # (matrix.go); shifting at 16/20-bit would lose the low bits.
+    bytes_shifted = spec.bytes_shifted if depth >= 24 else 0
     chan_bits = depth - bytes_shifted * 8
     _write_element_header(writer, tag, partial, bytes_shifted, 0, num_samples)
     writer.write(0, 8)  # mixBits (unused for mono)
     writer.write(0, 8)  # mixRes (unused for mono)
 
     high, low = _split_shift(samples, bytes_shifted)
-    header, body = _encode_channel_body(config, spec.channel, high, chan_bits)
+    hb = _encode_channel_body(config, spec.channel, high, chan_bits)
+    if hb is None:
+        return escaped
+    header, body = hb
 
     _append(writer, header)
     if bytes_shifted:
@@ -457,7 +465,7 @@ def _encode_cpe(
         return escaped
 
     writer = BitWriter()
-    bytes_shifted = spec.bytes_shifted if depth > 16 else 0
+    bytes_shifted = spec.bytes_shifted if depth >= 24 else 0
     if depth == 32:
         # chanBits = 32 - 0 + 1 = 33 hits degenerate Go shift saturation in the
         # decoder (predictor sext zeroes everything); always shift >= 1 byte.
@@ -467,14 +475,27 @@ def _encode_cpe(
 
     lh, ll = _split_shift(left.astype(np.int64), bytes_shifted)
     rh, rl = _split_shift(right.astype(np.int64), bytes_shifted)
-    u, v = mix_stereo(np.asarray(lh, dtype=np.int64), np.asarray(rh, dtype=np.int64), spec.mix_bits, spec.mix_res)
+    mix_res = spec.mix_res
+    u, v = mix_stereo(np.asarray(lh, dtype=np.int64), np.asarray(rh, dtype=np.int64), spec.mix_bits, mix_res)
 
-    mix_bits = spec.mix_bits if spec.mix_res != 0 else 0
+    # Decorrelated values must fit chan_bits (the decoder sign-extends to
+    # chan_bits, so out-of-range u would decode lossily); fall back to
+    # independent channels when an aggressive mix_res overflows.
+    lim = 1 << (chan_bits - 1)
+    if mix_res != 0 and u.size and (max(u.max(), v.max(), 0) >= lim or min(u.min(), v.min(), 0) < -lim):
+        mix_res = 0
+        u, v = np.asarray(lh, dtype=np.int64), np.asarray(rh, dtype=np.int64)
+
+    mix_bits = spec.mix_bits if mix_res != 0 else 0
     writer.write(mix_bits, 8)
-    writer.write(spec.mix_res & 0xFF, 8)
+    writer.write(mix_res & 0xFF, 8)
 
-    header_u, body_u = _encode_channel_body(config, spec.channel, [int(x) for x in u], chan_bits)
-    header_v, body_v = _encode_channel_body(config, spec.channel, [int(x) for x in v], chan_bits)
+    hb_u = _encode_channel_body(config, spec.channel, [int(x) for x in u], chan_bits)
+    hb_v = _encode_channel_body(config, spec.channel, [int(x) for x in v], chan_bits)
+    if hb_u is None or hb_v is None:
+        return escaped
+    header_u, body_u = hb_u
+    header_v, body_v = hb_v
 
     _append(writer, header_u)
     _append(writer, header_v)

@@ -173,6 +173,8 @@ def _extract_cookie(reader: BinaryIO, stbl: _BoxInfo) -> bytes:
         if pos + _SAMPLE_ENTRY_HEADER > len(data):
             break
         entry_size = struct.unpack(">I", data[pos : pos + 4])[0]
+        if entry_size < _SAMPLE_ENTRY_HEADER:
+            break  # malformed size can't advance; stop instead of spinning
         if entry_size < _SAMPLE_ENTRY_HEADER + _SAMPLE_ENTRY_BASE or pos + entry_size > len(data):
             pos += entry_size
             continue

@@ -74,7 +74,7 @@ def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, k
     ).reshape(B, C, F)
 
     shift_vals = extract_shift(words, w.shift_base, w.bs, w.role, F, C)
-    out = finish(mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, F, C, depth)
+    out = finish(mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, depth)
     return pack_output(out, depth), w.err, w.ns
 
 

@@ -68,10 +68,12 @@ def extract_shift(words, shift_base, bs, role, frame_length, num_channels):
 
 
 @partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth"))
-def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, frame_length, num_channels, depth):
+def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_length, num_channels, depth):
     """Unmix pairs, re-insert shift bits, normalize 20-bit, remap channels.
 
     mix: (B, C, F) reconstructed channel values (bitstream channel order).
+    ``filled`` masks slots no element decoded into (early END leaves those
+    output channels zero, matching the reference's zeroed output buffer).
     Returns (B, F, C) int32 output samples in SMPTE order.
     """
     B = mix.shape[0]
@@ -93,21 +95,28 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, frame_length, n
         unmixed = unmixed.at[:, c].set(jnp.where(is_u[:, None], left, unmixed[:, c]))
         unmixed = unmixed.at[:, c + 1].set(jnp.where(is_u[:, None], right, unmixed[:, c + 1]))
 
-    # Shift re-insert: (val << shift) | shiftbits (matrix.go:129-131).
-    shift = bs[:, :, None] * 8
-    shifted = s(jax.lax.shift_left(u(unmixed), u(jnp.minimum(shift, 31)))) | shift_vals
-    vals = jnp.where(bs[:, :, None] > 0, shifted, unmixed)
+    # Shift re-insert: (val << shift) | shiftbits (matrix.go:129-131).  Only
+    # the 24/32-bit writers apply it; 16/20-bit ignore bytesShifted
+    # (matrix.go:30-105 take no shift buffer).
+    if depth in (24, 32):
+        shift = bs[:, :, None] * 8
+        shifted = s(jax.lax.shift_left(u(unmixed), u(jnp.minimum(shift, 31)))) | shift_vals
+        vals = jnp.where(bs[:, :, None] > 0, shifted, unmixed)
+    else:
+        vals = unmixed
 
     # 20-bit output is stored << 4 (matrix.go:91-101).
     if depth == 20:
         vals = s(jax.lax.shift_left(u(vals), U32(4)))
 
-    # MPEG -> SMPTE remap via recorded out_chan (decoder.go:55-64).
-    out = jnp.zeros((B, F, C), I32)
+    # MPEG -> SMPTE remap via recorded out_chan (decoder.go:55-64).  Slots
+    # without a decoded element scatter into a dummy channel so they cannot
+    # clobber real output (their SMPTE positions stay zero).
+    out = jnp.zeros((B, F, C + 1), I32)
     for c in range(C):
-        oc = out_chan[:, c]
+        oc = jnp.where(filled[:, c] != 0, out_chan[:, c], C)
         out = out.at[jnp.arange(B), :, oc].set(vals[:, c])
-    return out
+    return out[:, :, :C]
 
 
 @partial(jax.jit, static_argnames=("depth",))

@@ -60,6 +60,7 @@ class WalkResult(NamedTuple):
     mixres: jnp.ndarray  # (B, C)
     role: jnp.ndarray  # (B, C) 0=mono, 1=pair-U, 2=pair-V
     out_chan: jnp.ndarray  # (B, C) SMPTE output channel index
+    filled: jnp.ndarray  # (B, C) 1 if a channel element actually decoded here
 
 
 def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_local, max_size, ns, cfg):
@@ -232,6 +233,7 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
         "mixres": zeros_c(),
         "role": zeros_c(),
         "out_chan": zeros_c(),
+        "filled": zeros_c(),
     }
 
     def slot_body(_, st):
@@ -333,6 +335,13 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
         # --- Escape: raw data begins right after the element header ---
         esc_base = p
         p_esc_end = p + ns * esc_cb * nch_elem
+        # Truncated raw region: flag for the oracle's BitstreamOverrun.
+        err = jnp.where(is_escape & (p_esc_end > size_bits), ERR_OVERRUN, err)
+        is_escape = is_escape & (err == ERR_NONE)
+        is_elem = is_elem & (err == ERR_NONE)
+        is_sce = is_sce & is_elem
+        is_cpe = is_cpe & is_elem
+        is_comp = is_comp & is_elem
 
         # --- DSE skip (decoder.go:554-574) ---
         d_align = vread(words, p0 + 4, 1)
@@ -387,6 +396,7 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
         st2["mixres"] = put(put(st["mixres"], chan_u, jnp.where(is_cpe & is_comp, mixres, 0)), chan_v, jnp.where(is_cpe & is_comp, mixres, 0))
         st2["role"] = put(put(st["role"], chan_u, jnp.where(is_cpe, 1, 0)), chan_v, 2)
         st2["out_chan"] = put(put(st["out_chan"], chan_u, out_u), chan_v, out_u + 1)
+        st2["filled"] = put(put(st["filled"], chan_u, 1), chan_v, 1)
         coefs = st["coefs"].at[arange_b, chan_u].set(jnp.where(is_comp[:, None], coefs_u, 0))
         coefs = coefs.at[arange_b, chan_v].set(jnp.where(is_comp[:, None], coefs_v, 0))
         st2["coefs"] = coefs
@@ -452,4 +462,5 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
         mixres=state["mixres"][:, :C],
         role=state["role"][:, :C],
         out_chan=state["out_chan"][:, :C],
+        filled=state["filled"][:, :C],
     )

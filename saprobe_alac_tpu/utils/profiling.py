@@ -110,7 +110,7 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
         with timer.phase("epilogue"):
             sv = extract_shift(jw, w.shift_base, w.bs, w.role, F, C)
             out = finish(
-                mix.reshape(Bb, C, F), sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, F, C, cfg.bit_depth
+                mix.reshape(Bb, C, F), sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, cfg.bit_depth
             )
             packed = pack_output(out, cfg.bit_depth)
             jax.block_until_ready(packed)

@@ -51,7 +51,12 @@ def read_wav(reader: BinaryIO) -> tuple[PCMFormat, bytes]:
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
         if cid == b"fmt ":
             payload = reader.read(size)
-            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
+            tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
+            if tag == 0xFFFE and len(payload) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real format code leads the GUID.
+                tag = struct.unpack("<H", payload[24:26])[0]
+            if tag != 1:
+                raise ValueError(f"unsupported WAV format tag {tag} (integer PCM only)")
             fmt = PCMFormat(sample_rate=rate, bit_depth=bits, channels=channels)
         elif cid == b"data":
             if fmt is None:
