@@ -134,3 +134,72 @@ def test_float_wav_rejected():
     ) + b"data" + struct.pack("<I", 0)
     with pytest.raises(ValueError):
         read_wav(io.BytesIO(hdr))
+
+
+def _stereo_packet_with_prefix(cfg, pcm, prefix_writer):
+    """A valid CPE packet with arbitrary elements written before it."""
+    from saprobe_alac_tpu.encoder.encode import _encode_cpe
+
+    w = BitWriter()
+    _append(w, prefix_writer)
+    elem = _encode_cpe(cfg, EncoderSpec(), pcm[:, 0], pcm[:, 1], False, pcm.shape[0])
+    _append(w, elem)
+    w.write(7, 3)
+    w.byte_align()
+    return w.getvalue()
+
+
+def test_fil_and_dse_elements_before_audio():
+    """FIL and DSE elements interleave before the channel elements; every
+    decoder must skip them identically (decoder.go:538-574)."""
+    cfg = make_config(depth=16, channels=2, frame_length=64)
+    pcm = music_pcm(64, 2, 16, seed=6)
+
+    pre = BitWriter()
+    # FIL with count=3 payload bytes
+    pre.write(6, 3)
+    pre.write(3, 4)
+    for b in (0x11, 0x22, 0x33):
+        pre.write(b, 8)
+    # FIL with escape count (15 -> +8 bits)
+    pre.write(6, 3)
+    pre.write(15, 4)
+    pre.write(2, 8)  # total = 15 + 2 - 1 = 16 bytes
+    for i in range(16):
+        pre.write(i, 8)
+    # DSE, no align, 2 bytes
+    pre.write(4, 3)
+    pre.write(0, 4)
+    pre.write(0, 1)
+    pre.write(2, 8)
+    pre.write(0xAA, 8)
+    pre.write(0xBB, 8)
+    # DSE with byte-align flag
+    pre.write(4, 3)
+    pre.write(1, 4)
+    pre.write(1, 1)
+    pre.write(1, 8)
+    pre.byte_align()  # align point the decoder must reproduce
+    pre.write(0xCC, 8)
+
+    pkt = _stereo_packet_with_prefix(cfg, pcm, pre)
+    want = oracle(cfg, pkt)[0]
+    assert want == expected_pcm_bytes(pcm, 16)
+    assert JaxBatchDecoder(cfg).decode_packets([pkt])[0] == want
+    if native.available():
+        assert native.decode_packet(cfg, pkt) == want
+
+
+def test_slot_budget_overflow_falls_back():
+    """More fill elements than the device walk's slot budget: the lane flags
+    ERR_SLOTS and the oracle decodes it (still bit-exact)."""
+    cfg = make_config(depth=16, channels=2, frame_length=64)
+    pcm = music_pcm(64, 2, 16, seed=7)
+    pre = BitWriter()
+    for _ in range(8):  # > C + EXTRA_SLOTS element budget
+        pre.write(6, 3)  # FIL count=0
+        pre.write(0, 4)
+    pkt = _stereo_packet_with_prefix(cfg, pcm, pre)
+    want = oracle(cfg, pkt)[0]
+    assert want == expected_pcm_bytes(pcm, 16)
+    assert JaxBatchDecoder(cfg).decode_packets([pkt])[0] == want
