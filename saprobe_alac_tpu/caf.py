@@ -67,7 +67,8 @@ def find_alac_track_caf(reader: BinaryIO) -> tuple[bytes, list[SampleInfo]]:
     fmt_id = desc[8:12]
     if fmt_id != b"alac":
         raise NoAlacTrack(f"CAF stream format {fmt_id!r} is not ALAC")
-    frames_per_packet = struct.unpack(">I", desc[20:24])[0]
+    # NB: the desc frames-per-packet field is not validated here; the kuki
+    # cookie's frame_length is the decode-authoritative value.
 
     off, size = chunks[b"kuki"]
     reader.seek(off)
@@ -80,12 +81,19 @@ def find_alac_track_caf(reader: BinaryIO) -> tuple[bytes, list[SampleInfo]]:
         off, size = chunks[b"pakt"]
         reader.seek(off)
         payload = reader.read(size)
+        if len(payload) < 24:
+            raise NoAlacTrack("short CAF pakt chunk")
         num_packets = struct.unpack(">q", payload[:8])[0]
+        if num_packets < 0:
+            raise NoAlacTrack(f"CAF pakt declares {num_packets} packets")
         sizes = []
         pos = 24  # header: numPackets q, numValidFrames q, priming i, remainder i
+        end = len(payload)
         for _ in range(num_packets):
             val = 0
             while True:
+                if pos >= end:
+                    raise NoAlacTrack("CAF pakt table truncated")
                 b = payload[pos]
                 pos += 1
                 val = (val << 7) | (b & 0x7F)

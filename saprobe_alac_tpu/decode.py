@@ -195,19 +195,19 @@ def new_decoder(reader: BinaryIO, backend: str = "auto", batch_size: int = 64) -
 
 
 def decode_file(path_or_reader, backend: str = "auto"):
-    """Convenience: decode a whole M4A to (PCMFormat, (n, channels) int array).
+    """Convenience: decode a whole M4A/CAF to (PCMFormat, (n, channels) ints).
 
     Accepts a path or a binary file object.
     """
-
+    import contextlib
 
     from .utils.pcmconv import pcm_bytes_to_array
 
     if hasattr(path_or_reader, "read"):
-        dec = Decoder(path_or_reader, backend=backend)
-        fmt = dec.format()
-        return fmt, pcm_bytes_to_array(fmt, dec.read())
-    with open(path_or_reader, "rb") as f:
+        cm = contextlib.nullcontext(path_or_reader)
+    else:
+        cm = open(path_or_reader, "rb")
+    with cm as f:
         dec = Decoder(f, backend=backend)
         fmt = dec.format()
         return fmt, pcm_bytes_to_array(fmt, dec.read())

@@ -266,8 +266,9 @@ def encode_packet(config: PacketConfig, spec, samples: np.ndarray) -> bytes:
     )
     ns, channels = samples.shape
     flat = np.ascontiguousarray(samples.astype(np.int32).reshape(-1))
-    # Worst case: escape elements (depth+1 bits per sample) + headers.
-    cap = (ns * channels * (config.bit_depth + 8)) // 8 + 256 * channels
+    # Worst case per channel-sample: shift region (<=16 bits) + Golomb escape
+    # (9 + chan_bits <= 9 + depth + 1 bits); budget 8 bytes/sample + headers.
+    cap = ns * channels * 8 + 4096 * channels
     out = np.empty(cap, dtype=np.uint8)
     rc = lib.alac_encode_packet(
         ctypes.byref(_config_c(config)),

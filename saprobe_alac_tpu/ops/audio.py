@@ -20,11 +20,17 @@ def pcm_to_float(samples, depth):
     return samples.astype(jnp.float32) * scale
 
 
+def _num_frames(total: int, frame: int, hop: int) -> int:
+    """Number of full analysis frames (0 when the input is too short —
+    never a clamped-gather partial frame)."""
+    return 0 if total < frame else 1 + (total - frame) // hop
+
+
 @partial(jax.jit, static_argnames=("frame", "hop"))
 def frame_energy(x, frame=1024, hop=512):
     """Per-frame RMS energy of (B, F) mono float audio (windowed)."""
     B, F = x.shape
-    n = 1 + max(0, (F - frame)) // hop
+    n = _num_frames(F, frame, hop)
     idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame)[None, :]
     frames = x[:, idx]  # (B, n, frame)
     return jnp.sqrt(jnp.mean(frames * frames, axis=-1) + 1e-12)
@@ -34,7 +40,7 @@ def frame_energy(x, frame=1024, hop=512):
 def log_spectrogram(x, frame=512, hop=256, n_bins=128):
     """Log-magnitude spectrogram of (B, F) mono float audio (rfft)."""
     B, F = x.shape
-    n = 1 + max(0, (F - frame)) // hop
+    n = _num_frames(F, frame, hop)
     idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame)[None, :]
     window = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(frame) / frame)
     frames = x[:, idx] * window[None, None, :]

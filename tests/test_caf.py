@@ -72,12 +72,25 @@ def test_caf_wav_roundtrip(tmp_path):
 
 
 def test_caf_errors():
-    with pytest.raises(NoTrackError):
-        find_alac_track_caf(io.BytesIO(b"caff" + b"\x00" * 20))
-    # non-ALAC desc
     import struct
 
-    desc = struct.pack(">d4sIIIII", 44100.0, b"lpcm", 0, 4, 1, 2, 16)
-    caf = b"caff" + struct.pack(">HH", 1, 0) + b"desc" + struct.pack(">q", len(desc)) + desc
     with pytest.raises(NoTrackError):
-        find_alac_track_caf(io.BytesIO(caf))
+        find_alac_track_caf(io.BytesIO(b"caff" + b"\x00" * 20))
+
+    # Non-ALAC desc with all required chunks present, so the failure comes
+    # specifically from the format-id check.
+    cfg, pcm, caf = build(n=512)
+    desc_idx = caf.find(b"desc")
+    bad = bytearray(caf)
+    # fmt_id sits 8 bytes into the desc payload (after the f64 sample rate).
+    fmt_off = desc_idx + 12 + 8
+    bad[fmt_off : fmt_off + 4] = b"lpcm"
+    with pytest.raises(NoTrackError, match="not ALAC"):
+        find_alac_track_caf(io.BytesIO(bytes(bad)))
+
+    # Truncated pakt table: clean error, no IndexError.
+    pakt_idx = caf.find(b"pakt")
+    bad = bytearray(caf)
+    bad[pakt_idx + 12 : pakt_idx + 20] = struct.pack(">q", 10_000_000)
+    with pytest.raises(NoTrackError, match="pakt"):
+        find_alac_track_caf(io.BytesIO(bytes(bad)))
