@@ -9,6 +9,7 @@
 //
 // C ABI; bound via ctypes next to alac_core.cpp (one shared library).
 
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -189,7 +190,10 @@ static void element_header(BitSink& w, int tag, bool partial, int bs, int esc, u
   if (partial) { w.write(ns >> 16, 16); w.write(ns & 0xFFFF, 16); }
 }
 
-static void entropy_body(BitSink& w, const EncConfig& cfg, const EncSpec& sp,
+// Returns false when the residuals are uncodable (INT32_MIN at
+// chan_bits==32: the decoder's ((nd+1)>>1) wraps it to 0); the caller then
+// falls back to the verbatim element.
+static bool entropy_body(BitSink& w, const EncConfig& cfg, const EncSpec& sp,
                          const int32_t* hs, int32_t ns, uint32_t chan_bits,
                          std::vector<int32_t>& scratch) {
   scratch.resize(ns);
@@ -203,9 +207,14 @@ static void entropy_body(BitSink& w, const EncConfig& cfg, const EncSpec& sp,
       prev = cur;
     }
   }
+  if (chan_bits >= 32) {
+    for (int32_t i = 0; i < ns; ++i)
+      if (scratch[i] == INT32_MIN) return false;
+  }
   uint32_t wb = cfg.kb < 32 ? e_shl32(1, cfg.kb) - 1 : 0xFFFFFFFFu;
   ag_encode(w, scratch.data(), ns, cfg.mb, (cfg.pb * sp.pb_factor) / 4,
             cfg.kb, wb, chan_bits);
+  return true;
 }
 
 static void encode_element(BitSink& dst, const EncConfig& cfg, const EncSpec& sp,
@@ -301,10 +310,12 @@ static void encode_element(BitSink& dst, const EncConfig& cfg, const EncSpec& sp
     }
   }
   // ...then the entropy bodies.
-  entropy_body(cmp, cfg, sp, h0.data(), ns, chan_bits, scratch);
-  if (pair) entropy_body(cmp, cfg, sp, h1.data(), ns, chan_bits, scratch);
+  bool codable = entropy_body(cmp, cfg, sp, h0.data(), ns, chan_bits, scratch);
+  if (codable && pair)
+    codable = entropy_body(cmp, cfg, sp, h1.data(), ns, chan_bits, scratch);
 
-  if (sp.auto_escape && esc.bit_length() < cmp.bit_length()) append_bits(dst, esc);
+  if (!codable || (sp.auto_escape && esc.bit_length() < cmp.bit_length()))
+    append_bits(dst, esc);
   else append_bits(dst, cmp);
 }
 

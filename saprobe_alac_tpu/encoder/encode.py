@@ -305,6 +305,12 @@ def _encode_channel_body(
     else:
         stream_res = res
 
+    # At chan_bits == 32 a residual of INT32_MIN is uncodable: its unsigned
+    # mapping is 2^32-1 and the decoder's ((nd+1)>>1) wraps it to 0 (the
+    # reference decoder does the same).  Fall back to the verbatim element.
+    if chan_bits >= 32 and any(r == -(1 << 31) for r in stream_res):
+        return None
+
     ag = AGParams.standard(
         mb=config.mb,
         pb=(config.pb * spec.pb_factor) // 4,

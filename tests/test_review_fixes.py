@@ -203,3 +203,20 @@ def test_slot_budget_overflow_falls_back():
     want = oracle(cfg, pkt)[0]
     assert want == expected_pcm_bytes(pcm, 16)
     assert JaxBatchDecoder(cfg).decode_packets([pkt])[0] == want
+
+
+def test_int32_min_residual_escapes():
+    """chan_bits=32 cannot carry an INT32_MIN residual (the decoder's
+    unsigned mapping wraps it to 0); the encoder must emit the verbatim
+    element instead.  Found by hack/torture.py."""
+    cfg = make_config(depth=32, channels=1, frame_length=64)
+    pcm = np.full((64, 1), (1 << 31) - 1, dtype=np.int64)
+    pcm[0, 0] = 0  # forces huge first-order deltas through the predictor
+    from saprobe_alac_tpu.encoder.encode import ChannelSpec
+
+    for spec in (EncoderSpec(channel=ChannelSpec(order=4, den_shift=3, mode=1, fit=True)),
+                 EncoderSpec(channel=ChannelSpec(order=31))):
+        for backend in ("python", "auto"):
+            pkts = encode_packets(cfg, spec, pcm, backend=backend)
+            got = b"".join(oracle(cfg, p)[0] for p in pkts)
+            assert got == expected_pcm_bytes(pcm, 32), (spec, backend)
