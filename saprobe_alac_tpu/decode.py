@@ -97,6 +97,22 @@ class Decoder:
 
         return target * self.config.frame_length / self.config.sample_rate
 
+    def seek_exact(self, t: float) -> float:
+        """Sample-accurate seek (beyond the reference's packet-aligned
+        :meth:`seek`): positions at the exact sample for time ``t`` by
+        decoding and discarding the partial packet prefix."""
+        from .formats import bytes_per_sample
+
+        target_sample = max(0, int(t * self.config.sample_rate))
+        pos = self.seek(t)
+        aligned_sample = round(pos * self.config.sample_rate)
+        skip = target_sample - aligned_sample
+        if skip > 0 and not self._eof:
+            bpf = self.config.num_channels * bytes_per_sample(self.config.bit_depth)
+            skipped = len(self.read(skip * bpf)) // bpf
+            return (aligned_sample + skipped) / self.config.sample_rate
+        return pos
+
     # --- Read (decode.go:127-190) ---
 
     def read(self, n: int = -1) -> bytes:

@@ -160,3 +160,18 @@ def test_multitrack_skips_non_alac():
         out[off_pos : off_pos + 4] = struct.pack(">I", old_off + len(dummy_trak))
     dec = new_decoder(io.BytesIO(bytes(out)))
     assert dec.read() == expected_pcm_bytes(pcm, 16)
+
+
+def test_seek_exact_sample_accurate():
+    """seek_exact positions on the precise sample (beyond reference parity)."""
+    cfg, pcm, m4a = build_stream(seconds=0.3, frame=1024)
+    want = expected_pcm_bytes(pcm, 16)
+    dec = new_decoder(io.BytesIO(m4a))
+    t = 2500.5 / 44100  # mid-packet, fractional sample time
+    pos = dec.seek_exact(t)
+    sample = round(pos * 44100)
+    assert sample == 2500
+    assert dec.read() == want[sample * 4 :]
+    # Past-end clamp.
+    assert dec.seek_exact(99.0) == pytest.approx(dec.duration())
+    assert dec.read() == b""
