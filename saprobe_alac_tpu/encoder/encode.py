@@ -57,7 +57,8 @@ class ChannelSpec:
 
     def initial_coefs(self, samples: np.ndarray | None = None) -> list[int]:
         if self.coefs:
-            return list(self.coefs[: self.order])
+            given = list(self.coefs[: self.order])
+            return given + [0] * (self.order - len(given))  # pad short lists
         if self.fit and samples is not None and self.order > 0:
             fitted = _fit_coefs(samples, self.order, self.den_shift)
             if fitted is not None:

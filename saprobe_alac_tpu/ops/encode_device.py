@@ -1,0 +1,451 @@
+"""Device-side ALAC encoding: one packet per vector lane.
+
+The encode direction is bit-serial per packet for the same reason decode is
+(adaptive entropy state), and parallel across packets for the same reason
+too.  This module mirrors ops/walk.py in reverse: an LPC forward scan over
+(packet, channel) lanes produces residuals, then a lockstep entropy-encode
+loop emits Golomb-Rice codewords into per-lane word buffers.
+
+Bit emission trick: output words start zeroed and every emitted bit is new,
+so "append w bits at bitpos" is two scatter-ADDs (add == or into zeros) on
+the straddled words — no read-modify-write hazard, since each lane owns its
+row.
+
+Scope (v1): compressed elements with caller-supplied coefficients, mode=0,
+optional byte shifting for >=24-bit depths, partial frames.  The host
+encoders (encoder/, native/) remain the full-featured paths; device-encoded
+streams are bit-identical to the Python encoder given the same parameters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.element import CHANNEL_LAYOUT_OFFSETS
+from ..config import PacketConfig
+from .jaxint import I32, U32, clz, lg3a, s, sext, shl, sshr, u, ushr
+from .lpc import delta_decode  # noqa: F401  (kept for parity reference)
+
+MAX_EMIT_BITS = 32
+
+
+def _emit(words, bitpos, value, width):
+    """Append ``width`` (0..32) bits of ``value`` at per-lane ``bitpos``.
+
+    words: (B, W) int32 big-endian bit order; returns (words, bitpos+width).
+    """
+    B, W = words.shape
+    widx = sshr(bitpos, 5)
+    sh = bitpos & 31
+    vmask = jnp.where(width >= 32, -1, shl(1, width) - 1)
+    v = value & vmask
+    # 64-bit window placement: value occupies bits [sh, sh+width) MSB-first.
+    right = 64 - sh - width  # distance from window LSB
+    hi = jnp.where(right >= 32, shl(v, right - 32), ushr(v, 32 - right))
+    lo = jnp.where(right >= 32, 0, shl(v, right))
+    lanes = jnp.arange(B)
+    widx0 = jnp.clip(widx, 0, W - 2)
+    words = words.at[lanes, widx0].add(hi)
+    words = words.at[lanes, widx0 + 1].add(lo)
+    return words, bitpos + width
+
+
+def _zero_run_table(res, ns):
+    """zrun[i] = consecutive zeros at i (within [0, ns)); (L, F) int32."""
+    L, F = res.shape
+    idx = jnp.arange(F, dtype=I32)[None, :]
+    valid = idx < ns[:, None]
+    nonzero = (res != 0) & valid
+    # Next nonzero position at/after i (ns when none), via reverse cummin.
+    pos = jnp.where(nonzero, idx, ns[:, None])
+    nxt = jax.lax.cummin(pos[:, ::-1], axis=1)[:, ::-1]
+    return jnp.maximum(nxt - idx, 0)
+
+
+def _lpc_forward_batch(x, order, den, cb, ns, coefs, frame_length):
+    """Residuals for all lanes: inverse of ops/lpc.py (same recurrence, del
+    solved instead of out).  x: (L, F) int32; returns (L, F) int32."""
+    from .lpc import _INT32_ORDERS
+
+    F = frame_length
+    L = x.shape[0]
+    PAD = 32
+
+    wrap16 = jnp.ones(L, dtype=bool)
+    for o in _INT32_ORDERS:
+        wrap16 = wrap16 & (order != o)
+
+    xP = jnp.zeros((L, PAD + F), I32)
+    xP = jax.lax.dynamic_update_slice(xP, x, (0, PAD))
+
+    den_half = jnp.where(den > 0, s(jax.lax.shift_left(u(jnp.ones(L, I32)), u(jnp.maximum(den - 1, 0)))), 0)
+    tap_idx = jnp.arange(32, dtype=I32)[None, :]
+    weight = order[:, None] - tap_idx
+    tap_mask = tap_idx < order[:, None]
+    is_fir = (order >= 1) & (order <= 30)
+    is_delta = order == 31
+
+    res0 = x  # order-0 lanes: residuals are the samples
+    # delta lanes (order 31): res[i] = sext(x[i]-x[i-1])
+    xm1 = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    delta_res = sext(x - xm1, cb[:, None])
+    delta_res = jnp.where(jnp.arange(F)[None, :] == 0, x, delta_res)
+    res_init = jnp.where(is_delta[:, None], delta_res, res0)
+
+    resP = jnp.zeros((L, F), I32)
+    resP = jnp.where(is_fir[:, None], 0, res_init)
+    resP = resP.at[:, 0].set(x[:, 0])
+
+    def body(t, carry):
+        resP, coefs = carry
+        active = is_fir & (t < ns)
+
+        Wn = jax.lax.dynamic_slice(xP, (0, t), (L, PAD))
+        WR = Wn[:, ::-1]  # WR[:, k] = x[t-1-k]
+        top = jnp.take_along_axis(WR, order[:, None], axis=1)[:, 0]
+
+        acc = jnp.sum(jnp.where(tap_mask, coefs * (WR - top[:, None]), 0), axis=1, dtype=I32)
+        sum1 = sshr(acc + den_half, den)
+
+        xt = jax.lax.dynamic_slice(xP, (0, PAD + t), (L, 1))[:, 0]
+        warm = t <= order
+        prev = WR[:, 0]
+        delta = jnp.where(warm, sext(xt - prev, cb), sext(xt - top - sum1, cb))
+
+        cur = jax.lax.dynamic_slice(resP, (0, t), (L, 1))[:, 0]
+        resP = jax.lax.dynamic_update_slice(
+            resP, jnp.where(active, delta, cur)[:, None], (0, t)
+        )
+
+        # Coefficient adaptation identical to decode (ops/lpc.py).
+        sign = jnp.sign(delta)
+        dd = top[:, None] - WR
+        sgn = jnp.sign(dd) * sign[:, None]
+        contrib = jnp.where(tap_mask, weight * sshr(sgn * dd, den[:, None]), 0)
+        suffix_inc = jnp.cumsum(contrib[:, ::-1].astype(jnp.uint32), axis=1)[:, ::-1].astype(I32)
+        del0 = delta[:, None] - (suffix_inc - contrib)
+        run = jnp.where(sign[:, None] > 0, del0 > 0, del0 < 0) & tap_mask
+        adapt = active[:, None] & (sign != 0)[:, None] & ~warm[:, None] & run
+        newc = coefs - sgn
+        from .jaxint import sext16
+
+        newc = jnp.where(wrap16[:, None], sext16(newc), newc)
+        coefs = jnp.where(adapt, newc, coefs)
+        return resP, coefs
+
+    def run_scan(args):
+        return jax.lax.fori_loop(1, F, body, args)
+
+    resP, _ = jax.lax.cond(jnp.any(is_fir), run_scan, lambda a: a, (resP, coefs))
+    return resP
+
+
+def _entropy_encode(words, bitpos, res, zrun, active0, pb_local, max_size, ns, mb, kb):
+    """Lockstep Golomb-Rice encode of one channel for all lanes."""
+    B = bitpos.shape[0]
+    F = res.shape[1]
+    wb = (1 << kb) - 1 if kb < 32 else 0xFFFFFFFF
+    max_iters = F + 4
+
+    def cond(st):
+        return jnp.any(st[0]) & (st[6] < max_iters)
+
+    def body(st):
+        act, words, bitpos, i, mean, zmode, it = st
+
+        d = jnp.take_along_axis(res, jnp.clip(i, 0, F - 1)[:, None], axis=1)[:, 0]
+        n = jnp.where(d >= 0, 2 * d, -2 * d - 1)  # wrapping int32 (u32 pattern)
+        value = n - zmode
+
+        m0 = s(jax.lax.shift_right_logical(u(mean), U32(9)))
+        k = jnp.minimum(lg3a(m0), kb)
+        m = shl(1, k) - 1
+
+        q = jnp.where(m > 0, s(u(value) // u(jnp.maximum(m, 1))), 9)
+        escape = q >= 9
+        # prefix: q ones + 0 (or 9 ones for escape)
+        p_w = jnp.where(escape, 9, q + 1)
+        p_v = jnp.where(escape, 0x1FF, shl(1, q + 1) - 2)  # ones then a zero
+        # suffix
+        r = value - q * m
+        sfx_w = jnp.where(escape, max_size, jnp.where(k == 1, 0, jnp.where(r == 0, k - 1, k)))
+        sfx_v = jnp.where(escape, value, jnp.where(r == 0, 0, r + 1))
+
+        p_w = jnp.where(act, p_w, 0)
+        sfx_w = jnp.where(act, sfx_w, 0)
+        words, bitpos = _emit(words, bitpos, jnp.where(act, p_v, 0), p_w)
+        words, bitpos = _emit(words, bitpos, jnp.where(act, sfx_v, 0), sfx_w)
+
+        i_n = jnp.where(act, i + 1, i)
+        mean_n = s(u(pb_local) * u(n) + u(mean) - jax.lax.shift_right_logical(u(pb_local) * u(mean), U32(9)))
+        mean_n = jnp.where(u(value) > 0xFFFF, 0xFFFF, mean_n)
+        mean = jnp.where(act, mean_n, mean)
+        zmode = jnp.where(act, 0, zmode)
+
+        # Zero-run mode (mirror of golomb.go:223-246).
+        zcond = act & (u(shl(mean, 2)) < 512) & (i_n < ns)
+        k32 = jnp.maximum(clz(mean) - 24 + s(jax.lax.shift_right_logical(u(mean + 16), U32(6))), 0)
+        mz = (shl(1, k32) - 1) & wb
+        run = jnp.take_along_axis(zrun, jnp.clip(i_n, 0, F - 1)[:, None], axis=1)[:, 0]
+        run = jnp.minimum(run, 65535)
+
+        zq = jnp.where(mz > 0, s(u(run) // u(jnp.maximum(mz, 1))), 9)
+        zesc = zq >= 9
+        zp_w = jnp.where(zesc, 9, zq + 1)
+        zp_v = jnp.where(zesc, 0x1FF, shl(1, zq + 1) - 2)
+        zr = run - zq * mz
+        zs_w = jnp.where(zesc, 16, jnp.where(k32 == 1, 0, jnp.where(zr == 0, k32 - 1, k32)))
+        zs_v = jnp.where(zesc, run, jnp.where(zr == 0, 0, zr + 1))
+
+        zp_w = jnp.where(zcond, zp_w, 0)
+        zs_w = jnp.where(zcond, zs_w, 0)
+        words, bitpos = _emit(words, bitpos, jnp.where(zcond, zp_v, 0), zp_w)
+        words, bitpos = _emit(words, bitpos, jnp.where(zcond, zs_v, 0), zs_w)
+
+        i_n = jnp.where(zcond, i_n + run, i_n)
+        zmode = jnp.where(zcond, jnp.where(run >= 65535, 0, 1), zmode)
+        mean = jnp.where(zcond, 0, mean)
+
+        act = act & (i_n < ns)
+        return act, words, bitpos, i_n, mean, zmode, it + 1
+
+    init = (
+        active0 & (ns > 0),
+        words,
+        bitpos,
+        jnp.zeros(B, I32),
+        jnp.full(B, mb, I32),
+        jnp.zeros(B, I32),
+        jnp.zeros((), I32),
+    )
+    _, words, bitpos, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return words, bitpos
+
+
+def _emit_many(words, base, values, width):
+    """Append K fixed-width fields per lane starting at ``base``.
+
+    values: (B, K) int32; width: scalar int (1..32).  Fully parallel
+    scatter-add (each field straddles <= 2 words).
+    """
+    B, K = values.shape
+    W = words.shape[1]
+    pos = base[:, None] + jnp.arange(K, dtype=I32)[None, :] * width
+    widx = jnp.clip(sshr(pos, 5), 0, W - 2)
+    sh = pos & 31
+    vmask = (1 << width) - 1 if width < 32 else -1
+    v = values & vmask
+    right = 64 - sh - width
+    hi = jnp.where(right >= 32, shl(v, right - 32), ushr(v, 32 - right))
+    lo = jnp.where(right >= 32, 0, shl(v, right))
+    lanes = jnp.arange(B)[:, None]
+    words = words.at[lanes, widx].add(hi)
+    words = words.at[lanes, widx + 1].add(lo)
+    return words, base + K * width
+
+
+def _element_layout(num_channels: int):
+    return {
+        1: [1], 2: [2], 3: [1, 2], 4: [1, 2, 1], 5: [1, 2, 2],
+        6: [1, 2, 2, 1], 7: [1, 2, 2, 1, 1], 8: [1, 2, 2, 2, 1],
+    }[num_channels]
+
+
+_LFE_BITSTREAM_IDX = {6: 5, 7: 6, 8: 7}
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frame_length", "num_channels", "depth", "pb", "mb", "kb",
+        "order", "den_shift", "pb_factor", "mix_bits_s", "bytes_shifted", "use_lfe_tag",
+    ),
+)
+def encode_walk(
+    planes,  # (B, C, F) int32, SMPTE channel order
+    ns,  # (B,) int32 samples per packet
+    mix_res,  # (B,) int32 per-packet mix_res (0 disables decorrelation)
+    coefs_in,  # (32,) int32 shared initial coefficients
+    frame_length, num_channels, depth, pb, mb, kb,
+    order, den_shift, pb_factor, mix_bits_s, bytes_shifted, use_lfe_tag,
+):
+    """Device-side packet assembly.  Returns (words (B, W) int32 BE, bit_len (B,))."""
+    F = frame_length
+    C = num_channels
+    B = planes.shape[0]
+    layout = _element_layout(C)
+    offsets = CHANNEL_LAYOUT_OFFSETS[C - 1]
+    bs = bytes_shifted if depth >= 24 else 0
+    lfe_idx = _LFE_BITSTREAM_IDX.get(C, -1)
+
+    # Worst case ~72 bits per channel-sample + headers.
+    W = ((F * C * 72 + 4096 * C) // 32) + 4
+    words = jnp.zeros((B, W), I32)
+    bitpos = jnp.zeros(B, I32)
+    partial_f = ns != F
+
+    def emit_all(words, bitpos, value, width):
+        return _emit(words, bitpos, jnp.broadcast_to(jnp.asarray(value, I32), (B,)),
+                     jnp.broadcast_to(jnp.asarray(width, I32), (B,)))
+
+    chan = 0
+    for width_e in layout:
+        pair = width_e == 2
+        nch = 2 if pair else 1
+        if pair and depth == 32:
+            bs_e = max(bs, 1)  # avoid degenerate chanBits=33
+        else:
+            bs_e = bs
+        cb = depth - bs_e * 8 + (1 if pair else 0)
+        shift_w = bs_e * 8
+        tag = 3 if (use_lfe_tag and chan == lfe_idx) else (1 if pair else 0)
+
+        # --- element header: tag(3) + instance(4) + unused(12) + hdr(4) ---
+        words, bitpos = emit_all(words, bitpos, tag, 3)
+        words, bitpos = emit_all(words, bitpos, 0, 4)
+        words, bitpos = emit_all(words, bitpos, 0, 12)
+        hdr4 = jnp.where(partial_f, 8, 0) + (bs_e << 1)
+        words, bitpos = _emit(words, bitpos, hdr4, jnp.full(B, 4, I32))
+        # partial frame count (32 bits, only for partial lanes)
+        pw = jnp.where(partial_f, 16, 0)
+        words, bitpos = _emit(words, bitpos, ushr(ns, 16), pw)
+        words, bitpos = _emit(words, bitpos, ns & 0xFFFF, pw)
+
+        # --- channel data: split shift lows, mix pairs ---
+        c0 = planes[:, offsets[chan]]
+        if pair:
+            c1 = planes[:, offsets[chan] + 1]
+        if bs_e:
+            h0 = sshr(c0, shift_w)
+            l0 = c0 & ((1 << shift_w) - 1)
+            if pair:
+                h1 = sshr(c1, shift_w)
+                l1 = c1 & ((1 << shift_w) - 1)
+        else:
+            h0 = c0
+            if pair:
+                h1 = c1
+
+        mr = mix_res if pair else jnp.zeros(B, I32)
+        if pair:
+            v_mix = h0 - h1  # wrapping int32
+            corr = sshr(mr[:, None] * h1 + 0 * v_mix, mix_bits_s)
+            u_mix = h1 + sshr(mr[:, None] * v_mix, mix_bits_s)
+            # Overflow guard: decorrelated values must fit cb (encoder
+            # convention; see encoder/encode.py).
+            lim = jnp.int32(1) << (cb - 1)
+            idxF = jnp.arange(F, dtype=I32)[None, :]
+            validF = idxF < ns[:, None]
+            over = jnp.any(validF & ((u_mix >= lim) | (u_mix < -lim) | (v_mix >= lim) | (v_mix < -lim)), axis=1)
+            mr = jnp.where(over, 0, mr)
+            u_mix = jnp.where((mr != 0)[:, None], u_mix, h0)
+            v_mix = jnp.where((mr != 0)[:, None], v_mix, h1)
+            ch_data = (u_mix, v_mix)
+        else:
+            ch_data = (h0,)
+
+        # --- mix bytes ---
+        mbits = jnp.where(mr != 0, mix_bits_s, 0) if pair else jnp.zeros(B, I32)
+        words, bitpos = _emit(words, bitpos, mbits, jnp.full(B, 8, I32))
+        words, bitpos = _emit(words, bitpos, mr & 0xFF, jnp.full(B, 8, I32))
+
+        # --- predictor headers + coefs (shared static values) ---
+        for _ in range(nch):
+            words, bitpos = emit_all(words, bitpos, den_shift, 8)  # mode=0, den
+            words, bitpos = emit_all(words, bitpos, (pb_factor << 5) | order, 8)
+            for kcoef in range(order):
+                cval = jnp.broadcast_to(coefs_in[kcoef] & 0xFFFF, (B,)).astype(I32)
+                words, bitpos = _emit(words, bitpos, cval, jnp.full(B, 16, I32))
+
+        # --- shift region (interleaved for pairs), fully parallel ---
+        if bs_e:
+            if pair:
+                inter = jnp.stack([l0, l1], axis=2).reshape(B, 2 * F)
+                nfields = 2 * F
+            else:
+                inter = l0
+                nfields = F
+            # mask fields beyond ns (emit zero-width impossible with
+            # _emit_many; instead emit all then rewind bitpos per lane)
+            words2, _ = _emit_many(words, bitpos, jnp.where(
+                jnp.arange(nfields)[None, :] < ns[:, None] * nch, inter, 0), shift_w)
+            words = words2
+            bitpos = bitpos + ns * nch * shift_w
+
+        # --- entropy bodies ---
+        pb_local = jnp.full(B, (pb * pb_factor) // 4, I32)
+        for ci, data in enumerate(ch_data):
+            res = _lpc_forward_batch(
+                data,
+                jnp.full(B, order, I32),
+                jnp.full(B, den_shift, I32),
+                jnp.full(B, cb, I32),
+                ns,
+                jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32),
+                F,
+            )
+            zrun = _zero_run_table(res, ns)
+            words, bitpos = _entropy_encode(
+                words, bitpos, res, zrun, jnp.ones(B, bool), pb_local,
+                jnp.full(B, cb, I32), ns, mb, kb,
+            )
+        chan += nch
+
+    # END + byte align
+    words, bitpos = emit_all(words, bitpos, 7, 3)
+    pad = (8 - (bitpos & 7)) & 7
+    words, bitpos = _emit(words, bitpos, jnp.zeros(B, I32), pad)
+    return words, bitpos
+
+
+def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
+    """Encode packets on the device; bit-identical to the Python encoder
+    given the same (shared) coefficients and mode-0 settings.
+
+    ``pcm_list``: list of (ns_i, C) int arrays (one per packet).  Lanes whose
+    residuals are uncodable at 32-bit width fall back to the host encoder.
+    """
+    from ..encoder.encode import encode_packet as host_encode
+
+    ch = spec.channel
+    if ch.mode != 0 or spec.escape or config.kb == 0:
+        return [host_encode(config, spec, p) for p in pcm_list]
+
+    B = len(pcm_list)
+    F = config.frame_length
+    C = config.num_channels
+    planes = np.zeros((B, C, F), np.int32)
+    ns = np.zeros(B, np.int32)
+    for i, p in enumerate(pcm_list):
+        n = p.shape[0]
+        ns[i] = n
+        planes[i, :, :n] = np.asarray(p, np.int64).T.astype(np.int32)
+
+    coefs = ch.initial_coefs(np.asarray(pcm_list[0][:, 0], np.int64) if ch.order not in (0, 31) else None)
+    coefs_arr = np.zeros(32, np.int32)
+    coefs_arr[: len(coefs)] = coefs
+
+    words, bits = encode_walk(
+        jnp.asarray(planes),
+        jnp.asarray(ns),
+        jnp.full(B, spec.mix_res, jnp.int32),
+        jnp.asarray(coefs_arr),
+        F, C, config.bit_depth, config.pb, config.mb, config.kb,
+        ch.order, ch.den_shift, ch.pb_factor, max(spec.mix_bits, 1),
+        spec.bytes_shifted, spec.use_lfe_tag,
+    )
+    words = np.asarray(words)
+    bits = np.asarray(bits)
+
+    out = []
+    be = words.astype(">i4").tobytes()
+    row_bytes = words.shape[1] * 4
+    for i in range(B):
+        nbytes = (int(bits[i]) + 7) // 8
+        out.append(be[i * row_bytes : i * row_bytes + nbytes])
+    return out

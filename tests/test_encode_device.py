@@ -1,0 +1,75 @@
+"""Device-side encoder: byte-identical to the host encoder, and a full
+TPU encode -> TPU decode loop."""
+
+import numpy as np
+import pytest
+
+from saprobe_alac_tpu.codec import decode_packet as oracle
+from saprobe_alac_tpu.encoder import EncoderSpec, encode_packet
+from saprobe_alac_tpu.encoder.encode import ChannelSpec
+from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+from saprobe_alac_tpu.ops.encode_device import encode_packets_device
+
+from conftest import expected_pcm_bytes, make_config, music_pcm
+
+F = 160
+
+
+def spec_for(order, **kw):
+    coefs = ([160, 80, 40, 20, 10, 5, 3, 2] * 4)[:order] if order not in (0, 31) else []
+    return EncoderSpec(channel=ChannelSpec(order=order, coefs=coefs, fit=False),
+                       auto_escape=False, **kw)
+
+
+@pytest.mark.parametrize(
+    "depth,channels,order,bs,mix_res",
+    [
+        (16, 2, 4, 0, 1),
+        (16, 1, 8, 0, 0),
+        (24, 2, 4, 1, 1),
+        (16, 6, 4, 0, 1),
+        (16, 2, 0, 0, 1),
+        (16, 2, 31, 0, 1),
+        (32, 2, 4, 0, 1),
+        (24, 8, 4, 1, 2),
+        (16, 2, 12, 0, -3),
+    ],
+    ids=["std", "mono8", "bs24", "5.1", "o0", "o31", "d32", "7.1bs", "o12mixneg"],
+)
+def test_device_encoder_byte_identical(depth, channels, order, bs, mix_res):
+    cfg = make_config(depth=depth, channels=channels, frame_length=F)
+    pcm = music_pcm(F, channels, depth, seed=depth + channels + order)
+    spec = spec_for(order, bytes_shifted=bs, mix_res=mix_res)
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    host = encode_packet(cfg, spec, pcm)
+    assert dev == host
+    assert oracle(cfg, dev)[0] == expected_pcm_bytes(pcm, depth)
+
+
+def test_device_encoder_batch_and_partials():
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = spec_for(4, mix_res=1)
+    pcms = [music_pcm(F, 2, 16, seed=i) for i in range(5)] + [music_pcm(77, 2, 16, seed=9)]
+    dev = encode_packets_device(cfg, spec, pcms)
+    for pkt, pcm in zip(dev, pcms):
+        assert pkt == encode_packet(cfg, spec, pcm)
+
+
+def test_full_device_loop():
+    """PCM -> TPU encode -> TPU decode -> identical PCM, host only moving bytes."""
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = spec_for(4, mix_res=1)
+    pcms = [music_pcm(F, 2, 16, seed=20 + i, tonality=0.9) for i in range(8)]
+    pkts = encode_packets_device(cfg, spec, pcms)
+    decoded = JaxBatchDecoder(cfg).decode_packets(pkts)
+    for got, pcm in zip(decoded, pcms):
+        assert got == expected_pcm_bytes(pcm, 16)
+
+
+def test_device_encoder_silence_zero_runs():
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = spec_for(4, mix_res=1)
+    pcm = np.zeros((F, 2), dtype=np.int64)
+    pcm[50, 0] = 7
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    assert dev == encode_packet(cfg, spec, pcm)
