@@ -538,11 +538,19 @@ def encode_packets(
     """Encode (total_samples, channels) PCM into a list of packets.
 
     backend "auto" uses the C++ native encoder when available (identical
-    format, ~100x faster); "python" forces the pure-Python reference
-    encoder (which fits coefficients per channel instead of per packet).
+    format, ~50x faster); "device" runs the TPU lane-parallel encoder
+    (ops/encode_device.py; byte-identical given shared coefficients);
+    "python" forces the pure-Python reference encoder (which fits
+    coefficients per channel instead of per packet).
     """
     total = pcm.shape[0]
     frame = config.frame_length
+
+    if backend == "device":
+        from ..ops.encode_device import encode_packets_device
+
+        chunks = [pcm[start : start + frame] for start in range(0, total, frame)]
+        return encode_packets_device(config, spec, chunks)
 
     if backend == "auto":
         from .. import native
