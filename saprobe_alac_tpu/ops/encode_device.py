@@ -20,8 +20,6 @@ streams are bit-identical to the Python encoder given the same parameters.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,10 +27,6 @@ import numpy as np
 from ..codec.element import CHANNEL_LAYOUT_OFFSETS
 from ..config import PacketConfig
 from .jaxint import I32, U32, clz, lg3a, s, sext, shl, sshr, u, ushr
-from .lpc import delta_decode  # noqa: F401  (kept for parity reference)
-
-MAX_EMIT_BITS = 32
-
 
 def _emit(words, bitpos, value, width):
     """Append ``width`` (0..32) bits of ``value`` at per-lane ``bitpos``.
@@ -333,8 +327,8 @@ def encode_walk(
 
         mr = mix_res if pair else jnp.zeros(B, I32)
         if pair:
+            # Inverse of unmix: v = l - r; u = r + ((mix_res * v) >> mix_bits).
             v_mix = h0 - h1  # wrapping int32
-            corr = sshr(mr[:, None] * h1 + 0 * v_mix, mix_bits_s)
             u_mix = h1 + sshr(mr[:, None] * v_mix, mix_bits_s)
             # Overflow guard: decorrelated values must fit cb (encoder
             # convention; see encoder/encode.py).
