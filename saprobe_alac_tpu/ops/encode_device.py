@@ -257,7 +257,8 @@ _LFE_BITSTREAM_IDX = {6: 5, 7: 6, 8: 7}
     jax.jit,
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb",
-        "order", "den_shift", "pb_factor", "mix_bits_s", "bytes_shifted", "use_lfe_tag",
+        "order", "den_shift", "pb_factor", "mix_bits_s", "bytes_shifted",
+        "use_lfe_tag", "auto_escape",
     ),
 )
 def encode_walk(
@@ -267,8 +268,17 @@ def encode_walk(
     coefs_in,  # (32,) int32 shared initial coefficients
     frame_length, num_channels, depth, pb, mb, kb,
     order, den_shift, pb_factor, mix_bits_s, bytes_shifted, use_lfe_tag,
+    auto_escape,
 ):
-    """Device-side packet assembly.  Returns (words (B, W) int32 BE, bit_len (B,))."""
+    """Device-side packet assembly.  Returns (words (B, W) int32 BE, bit_len (B,)).
+
+    Each element is assembled in two per-element scratch buffers (compressed
+    and verbatim/escape); the smaller (or the escape, when residuals are
+    uncodable) is blitted into the packet.  The blit is a width-32
+    scatter-add of the whole scratch: trailing zero words add nothing, and
+    later emissions into the same region are adds too, so no masking is
+    needed.
+    """
     F = frame_length
     C = num_channels
     B = planes.shape[0]
@@ -277,15 +287,27 @@ def encode_walk(
     bs = bytes_shifted if depth >= 24 else 0
     lfe_idx = _LFE_BITSTREAM_IDX.get(C, -1)
 
-    # Worst case ~72 bits per channel-sample + headers.
-    W = ((F * C * 72 + 4096 * C) // 32) + 4
+    # Worst case ~72 bits per channel-sample + headers, per element and total.
+    W = ((F * C * 72 + 4096 * C) // 32) + 8
     words = jnp.zeros((B, W), I32)
     bitpos = jnp.zeros(B, I32)
     partial_f = ns != F
 
-    def emit_all(words, bitpos, value, width):
-        return _emit(words, bitpos, jnp.broadcast_to(jnp.asarray(value, I32), (B,)),
-                     jnp.broadcast_to(jnp.asarray(width, I32), (B,)))
+    def emit_hdr(buf, pos, tag, bs_field, escape_flag):
+        """Common element header into a scratch buffer."""
+        def emit_all(buf, pos, value, width):
+            return _emit(buf, pos, jnp.broadcast_to(jnp.asarray(value, I32), (B,)),
+                         jnp.broadcast_to(jnp.asarray(width, I32), (B,)))
+
+        buf, pos = emit_all(buf, pos, tag, 3)
+        buf, pos = emit_all(buf, pos, 0, 4)
+        buf, pos = emit_all(buf, pos, 0, 12)
+        hdr4 = jnp.where(partial_f, 8, 0) + (bs_field << 1) + escape_flag
+        buf, pos = _emit(buf, pos, hdr4, jnp.full(B, 4, I32))
+        pw = jnp.where(partial_f, 16, 0)
+        buf, pos = _emit(buf, pos, ushr(ns, 16), pw)
+        buf, pos = _emit(buf, pos, ns & 0xFFFF, pw)
+        return buf, pos
 
     chan = 0
     for width_e in layout:
@@ -298,17 +320,6 @@ def encode_walk(
         cb = depth - bs_e * 8 + (1 if pair else 0)
         shift_w = bs_e * 8
         tag = 3 if (use_lfe_tag and chan == lfe_idx) else (1 if pair else 0)
-
-        # --- element header: tag(3) + instance(4) + unused(12) + hdr(4) ---
-        words, bitpos = emit_all(words, bitpos, tag, 3)
-        words, bitpos = emit_all(words, bitpos, 0, 4)
-        words, bitpos = emit_all(words, bitpos, 0, 12)
-        hdr4 = jnp.where(partial_f, 8, 0) + (bs_e << 1)
-        words, bitpos = _emit(words, bitpos, hdr4, jnp.full(B, 4, I32))
-        # partial frame count (32 bits, only for partial lanes)
-        pw = jnp.where(partial_f, 16, 0)
-        words, bitpos = _emit(words, bitpos, ushr(ns, 16), pw)
-        words, bitpos = _emit(words, bitpos, ns & 0xFFFF, pw)
 
         # --- channel data: split shift lows, mix pairs ---
         c0 = planes[:, offsets[chan]]
@@ -343,37 +354,10 @@ def encode_walk(
         else:
             ch_data = (h0,)
 
-        # --- mix bytes ---
-        mbits = jnp.where(mr != 0, mix_bits_s, 0) if pair else jnp.zeros(B, I32)
-        words, bitpos = _emit(words, bitpos, mbits, jnp.full(B, 8, I32))
-        words, bitpos = _emit(words, bitpos, mr & 0xFF, jnp.full(B, 8, I32))
-
-        # --- predictor headers + coefs (shared static values) ---
-        for _ in range(nch):
-            words, bitpos = emit_all(words, bitpos, den_shift, 8)  # mode=0, den
-            words, bitpos = emit_all(words, bitpos, (pb_factor << 5) | order, 8)
-            for kcoef in range(order):
-                cval = jnp.broadcast_to(coefs_in[kcoef] & 0xFFFF, (B,)).astype(I32)
-                words, bitpos = _emit(words, bitpos, cval, jnp.full(B, 16, I32))
-
-        # --- shift region (interleaved for pairs), fully parallel ---
-        if bs_e:
-            if pair:
-                inter = jnp.stack([l0, l1], axis=2).reshape(B, 2 * F)
-                nfields = 2 * F
-            else:
-                inter = l0
-                nfields = F
-            # mask fields beyond ns (emit zero-width impossible with
-            # _emit_many; instead emit all then rewind bitpos per lane)
-            words2, _ = _emit_many(words, bitpos, jnp.where(
-                jnp.arange(nfields)[None, :] < ns[:, None] * nch, inter, 0), shift_w)
-            words = words2
-            bitpos = bitpos + ns * nch * shift_w
-
-        # --- entropy bodies ---
-        pb_local = jnp.full(B, (pb * pb_factor) // 4, I32)
-        for ci, data in enumerate(ch_data):
+        # --- residuals for all channels (also drives the uncodable gate) ---
+        res_list = []
+        bad = jnp.zeros(B, bool)
+        for data in ch_data:
             res = _lpc_forward_batch(
                 data,
                 jnp.full(B, order, I32),
@@ -383,15 +367,78 @@ def encode_walk(
                 jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32),
                 F,
             )
+            res_list.append(res)
+            if cb >= 32:
+                idxF = jnp.arange(F, dtype=I32)[None, :]
+                bad = bad | jnp.any((idxF < ns[:, None]) & (res == jnp.int32(-(1 << 31))), axis=1)
+
+        # --- compressed variant (scratch) ---
+        Ws = ((F * nch * 72 + 4096) // 32) + 4
+        sc = jnp.zeros((B, Ws), I32)
+        sp = jnp.zeros(B, I32)
+        sc, sp = emit_hdr(sc, sp, tag, bs_e, 0)
+
+        mbits = jnp.where(mr != 0, mix_bits_s, 0) if pair else jnp.zeros(B, I32)
+        sc, sp = _emit(sc, sp, mbits, jnp.full(B, 8, I32))
+        sc, sp = _emit(sc, sp, mr & 0xFF, jnp.full(B, 8, I32))
+
+        for _ in range(nch):
+            sc, sp = _emit(sc, sp, jnp.full(B, den_shift, I32), jnp.full(B, 8, I32))
+            sc, sp = _emit(sc, sp, jnp.full(B, (pb_factor << 5) | order, I32), jnp.full(B, 8, I32))
+            for kcoef in range(order):
+                cval = jnp.broadcast_to(coefs_in[kcoef] & 0xFFFF, (B,)).astype(I32)
+                sc, sp = _emit(sc, sp, cval, jnp.full(B, 16, I32))
+
+        if bs_e:
+            if pair:
+                inter = jnp.stack([l0, l1], axis=2).reshape(B, 2 * F)
+                nfields = 2 * F
+            else:
+                inter = l0
+                nfields = F
+            sc2, _ = _emit_many(sc, sp, jnp.where(
+                jnp.arange(nfields)[None, :] < ns[:, None] * nch, inter, 0), shift_w)
+            sc = sc2
+            sp = sp + ns * nch * shift_w
+
+        pb_local = jnp.full(B, (pb * pb_factor) // 4, I32)
+        for res in res_list:
             zrun = _zero_run_table(res, ns)
-            words, bitpos = _entropy_encode(
-                words, bitpos, res, zrun, jnp.ones(B, bool), pb_local,
+            sc, sp = _entropy_encode(
+                sc, sp, res, zrun, jnp.ones(B, bool), pb_local,
                 jnp.full(B, cb, I32), ns, mb, kb,
             )
+
+        # --- escape (verbatim) variant (scratch) ---
+        We = ((F * nch * depth + 256) // 32) + 4
+        se = jnp.zeros((B, We), I32)
+        sep = jnp.zeros(B, I32)
+        se, sep = emit_hdr(se, sep, tag, 0, 1)
+        if pair:
+            raw = jnp.stack([c0, c1], axis=2).reshape(B, 2 * F)
+            nraw = 2 * F
+        else:
+            raw = c0
+            nraw = F
+        dmask = -1 if depth >= 32 else (1 << depth) - 1
+        se2, _ = _emit_many(se, sep, jnp.where(
+            jnp.arange(nraw)[None, :] < ns[:, None] * nch, raw & dmask, 0), depth)
+        se = se2
+        sep = sep + ns * nch * depth
+
+        # --- choose and blit ---
+        use_esc = bad | (jnp.asarray(auto_escape) & (sep < sp))
+        Wmax = max(Ws, We)
+        sc_p = jnp.pad(sc, ((0, 0), (0, Wmax - Ws)))
+        se_p = jnp.pad(se, ((0, 0), (0, Wmax - We)))
+        chosen = jnp.where(use_esc[:, None], se_p, sc_p)
+        chosen_len = jnp.where(use_esc, sep, sp)
+        words, _ = _emit_many(words, bitpos, chosen, 32)
+        bitpos = bitpos + chosen_len
         chan += nch
 
     # END + byte align
-    words, bitpos = emit_all(words, bitpos, 7, 3)
+    words, bitpos = _emit(words, bitpos, jnp.full(B, 7, I32), jnp.full(B, 3, I32))
     pad = (8 - (bitpos & 7)) & 7
     words, bitpos = _emit(words, bitpos, jnp.zeros(B, I32), pad)
     return words, bitpos
@@ -409,6 +456,7 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
     ch = spec.channel
     if ch.mode != 0 or spec.escape or config.kb == 0:
         return [host_encode(config, spec, p) for p in pcm_list]
+    auto_escape = bool(spec.auto_escape)
 
     B = len(pcm_list)
     F = config.frame_length
@@ -431,7 +479,7 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         jnp.asarray(coefs_arr),
         F, C, config.bit_depth, config.pb, config.mb, config.kb,
         ch.order, ch.den_shift, ch.pb_factor, max(spec.mix_bits, 1),
-        spec.bytes_shifted, spec.use_lfe_tag,
+        spec.bytes_shifted, spec.use_lfe_tag, auto_escape,
     )
     words = np.asarray(words)
     bits = np.asarray(bits)

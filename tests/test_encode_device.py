@@ -18,7 +18,7 @@ F = 160
 def spec_for(order, **kw):
     coefs = ([160, 80, 40, 20, 10, 5, 3, 2] * 4)[:order] if order not in (0, 31) else []
     return EncoderSpec(channel=ChannelSpec(order=order, coefs=coefs, fit=False),
-                       auto_escape=False, **kw)
+                       **kw)
 
 
 @pytest.mark.parametrize(
@@ -73,3 +73,20 @@ def test_device_encoder_silence_zero_runs():
     pcm[50, 0] = 7
     dev = encode_packets_device(cfg, spec, [pcm])[0]
     assert dev == encode_packet(cfg, spec, pcm)
+
+
+def test_device_auto_escape_and_uncodable_gate():
+    """Auto-escape picks the verbatim element for noise (byte-identical to
+    host), and the INT32_MIN-at-32-bit uncodable gate forces escape."""
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = EncoderSpec(channel=ChannelSpec(order=4, coefs=[160, 80, 40, 20], fit=False))
+    noise = music_pcm(F, 2, 16, seed=2, tonality=0.0)
+    assert encode_packets_device(cfg, spec, [noise])[0] == encode_packet(cfg, spec, noise)
+
+    cfg32 = make_config(depth=32, channels=1, frame_length=F)
+    pcm = np.full((F, 1), (1 << 31) - 1, dtype=np.int64)
+    pcm[0, 0] = 0
+    spec32 = EncoderSpec(channel=ChannelSpec(order=4, coefs=[160, 80, 40, 20], fit=False))
+    dev = encode_packets_device(cfg32, spec32, [pcm])[0]
+    assert dev == encode_packet(cfg32, spec32, pcm)
+    assert oracle(cfg32, dev)[0] == expected_pcm_bytes(pcm, 32)
