@@ -102,7 +102,13 @@ def main() -> int:
         n = int(rng.integers(1, frame * 2 + 1))
         pcm = random_pcm(rng, n, ch, depth)
 
-        backend = "auto" if rng.integers(0, 2) and native.available() else "python"
+        roll = int(rng.integers(0, 8))
+        if roll < 3 and native.available():
+            backend = "auto"
+        elif roll == 3 and args.jax_every and spec.channel.mode == 0 and not spec.escape and it % max(args.jax_every // 4, 1) == 0:
+            backend = "device"  # TPU lane-parallel encoder
+        else:
+            backend = "python"
         try:
             pkts = encode_packets(cfg, spec, pcm, backend=backend)
         except Exception as exc:  # encoder must never fail on valid PCM
