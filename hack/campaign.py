@@ -15,6 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
@@ -33,7 +34,6 @@ def main() -> int:
 
     from torture import random_pcm  # noqa: E402  (sibling hack module)
 
-    sys.path.insert(0, os.path.dirname(__file__))
     from saprobe_alac_tpu import native, new_decoder
     from saprobe_alac_tpu.caf import build_caf
     from saprobe_alac_tpu.codec.matrixing import pack_pcm

@@ -129,7 +129,7 @@ def main() -> int:
                 print(f"[{it}] NATIVE MISMATCH cfg={cfg} spec={spec} n={n}")
                 fails += 1
         if args.jax_every and it % args.jax_every == 0:
-            key = (depth, ch, frame)
+            key = (depth, ch, frame, cfg.pb, cfg.mb, cfg.kb)
             if key not in jax_decoders:
                 jax_decoders[key] = JaxBatchDecoder(cfg)
             if not jax_decoders[key]._scalar_only:

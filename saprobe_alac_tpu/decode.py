@@ -18,6 +18,21 @@ from .formats import PCMFormat
 from .mp4 import SampleInfo, find_alac_track
 
 
+def demux_stream(reader: BinaryIO):
+    """Sniff the container (MP4/M4A or CAF) and demux the ALAC track.
+
+    Returns (PacketConfig, flat sample table).  Shared by the streaming
+    Decoder and the corpus service.
+    """
+    from .caf import find_alac_track_caf, sniff_container
+
+    if sniff_container(reader) == "caf":
+        cookie, samples = find_alac_track_caf(reader)
+    else:
+        cookie, samples = find_alac_track(reader)
+    return parse_magic_cookie(cookie), samples
+
+
 class Decoder:
     """Streams decoded PCM from an ALAC M4A/MP4 source.
 
@@ -36,13 +51,7 @@ class Decoder:
 
         The container is sniffed automatically: MP4/M4A (reference parity)
         or CAF (a capability the reference lacks, README.md:32-36)."""
-        from .caf import find_alac_track_caf, sniff_container
-
-        if sniff_container(reader) == "caf":
-            cookie, samples = find_alac_track_caf(reader)
-        else:
-            cookie, samples = find_alac_track(reader)
-        config = parse_magic_cookie(cookie)
+        config, samples = demux_stream(reader)
 
         self._reader = reader
         self.config = config

@@ -256,7 +256,7 @@ def encode_packet(config: PacketConfig, spec, samples: np.ndarray) -> bytes:
         den_shift=ch.den_shift,
         pb_factor=ch.pb_factor,
         mode=ch.mode,
-        mix_bits=max(spec.mix_bits, 1),
+        mix_bits=max(spec.mix_bits, 0),
         mix_res=spec.mix_res,
         bytes_shifted=spec.bytes_shifted,
         force_escape=int(spec.escape),

@@ -160,8 +160,9 @@ def _entropy_encode(words, bitpos, res, zrun, active0, pb_local, max_size, ns, m
         k = jnp.minimum(lg3a(m0), kb)
         m = shl(1, k) - 1
 
-        q = jnp.where(m > 0, s(u(value) // u(jnp.maximum(m, 1))), 9)
-        escape = q >= 9
+        qu = u(value) // u(jnp.maximum(m, 1))
+        q = jnp.where(m > 0, s(qu), 9)
+        escape = jnp.where(m > 0, qu >= 9, True)  # unsigned compare
         # prefix: q ones + 0 (or 9 ones for escape)
         p_w = jnp.where(escape, 9, q + 1)
         p_v = jnp.where(escape, 0x1FF, shl(1, q + 1) - 2)  # ones then a zero
@@ -188,8 +189,9 @@ def _entropy_encode(words, bitpos, res, zrun, active0, pb_local, max_size, ns, m
         run = jnp.take_along_axis(zrun, jnp.clip(i_n, 0, F - 1)[:, None], axis=1)[:, 0]
         run = jnp.minimum(run, 65535)
 
-        zq = jnp.where(mz > 0, s(u(run) // u(jnp.maximum(mz, 1))), 9)
-        zesc = zq >= 9
+        zqu = u(run) // u(jnp.maximum(mz, 1))
+        zq = jnp.where(mz > 0, s(zqu), 9)
+        zesc = jnp.where(mz > 0, zqu >= 9, True)
         zp_w = jnp.where(zesc, 9, zq + 1)
         zp_v = jnp.where(zesc, 0x1FF, shl(1, zq + 1) - 2)
         zr = run - zq * mz
@@ -449,20 +451,26 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
     given the same (shared) coefficients and mode-0 settings.
 
     ``pcm_list``: list of (ns_i, C) int arrays (one per packet).  Lanes whose
-    residuals are uncodable at 32-bit width fall back to the host encoder.
+    residuals are uncodable at 32-bit width emit the verbatim (escape)
+    element on-device, like the host encoders' fallback.
     """
     from ..encoder.encode import encode_packet as host_encode
 
     ch = spec.channel
+    if not pcm_list:
+        return []
     if ch.mode != 0 or spec.escape or config.kb == 0:
         return [host_encode(config, spec, p) for p in pcm_list]
     auto_escape = bool(spec.auto_escape)
 
+    from .batch import _bucket
+
     B = len(pcm_list)
+    Bb = _bucket(B)  # fixed shape buckets bound recompiles
     F = config.frame_length
     C = config.num_channels
-    planes = np.zeros((B, C, F), np.int32)
-    ns = np.zeros(B, np.int32)
+    planes = np.zeros((Bb, C, F), np.int32)
+    ns = np.zeros(Bb, np.int32)
     for i, p in enumerate(pcm_list):
         n = p.shape[0]
         ns[i] = n
@@ -475,10 +483,10 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
     words, bits = encode_walk(
         jnp.asarray(planes),
         jnp.asarray(ns),
-        jnp.full(B, spec.mix_res, jnp.int32),
+        jnp.full(Bb, spec.mix_res, jnp.int32),
         jnp.asarray(coefs_arr),
         F, C, config.bit_depth, config.pb, config.mb, config.kb,
-        ch.order, ch.den_shift, ch.pb_factor, max(spec.mix_bits, 1),
+        ch.order, ch.den_shift, ch.pb_factor, max(spec.mix_bits, 0),
         spec.bytes_shifted, spec.use_lfe_tag, auto_escape,
     )
     words = np.asarray(words)

@@ -10,17 +10,15 @@ because every packet is self-contained (SURVEY §2.3).
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
-from typing import BinaryIO, Iterable, Sequence
+from typing import BinaryIO, Sequence
 
 import numpy as np
 
-from .caf import find_alac_track_caf, sniff_container
-from .config import PacketConfig, parse_magic_cookie
+from .config import PacketConfig
+from .decode import demux_stream
 from .decoder import BatchDecoder
-from .formats import PCMFormat, bytes_per_sample
-from .mp4 import find_alac_track
+from .formats import PCMFormat
 
 
 @dataclass
@@ -58,11 +56,7 @@ def decode_corpus(
     for idx, src in enumerate(sources):
         name, reader = _open_stream(src)
         try:
-            if sniff_container(reader) == "caf":
-                cookie, samples = find_alac_track_caf(reader)
-            else:
-                cookie, samples = find_alac_track(reader)
-            config = parse_magic_cookie(cookie)
+            config, samples = demux_stream(reader)
             packets = []
             for info in samples:
                 reader.seek(info.offset)

@@ -90,3 +90,24 @@ def test_device_auto_escape_and_uncodable_gate():
     dev = encode_packets_device(cfg32, spec32, [pcm])[0]
     assert dev == encode_packet(cfg32, spec32, pcm)
     assert oracle(cfg32, dev)[0] == expected_pcm_bytes(pcm, 32)
+
+
+def test_device_large_unsigned_quotients():
+    """Unsigned Golomb quotient compare (q >= 2^31 must still escape):
+    32-bit content with huge alternating residuals."""
+    cfg = make_config(depth=32, channels=1, frame_length=64)
+    pcm = np.zeros((64, 1), dtype=np.int64)
+    pcm[1::2] = (1 << 30) + 12345
+    spec = spec_for(4)
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    assert dev == encode_packet(cfg, spec, pcm)
+    assert oracle(cfg, dev)[0] == expected_pcm_bytes(pcm, 32)
+
+
+def test_device_empty_and_mix_bits_zero():
+    cfg = make_config(depth=16, channels=2, frame_length=64)
+    assert encode_packets_device(cfg, spec_for(4), []) == []
+    pcm = music_pcm(64, 2, 16, seed=1)
+    spec = spec_for(4, mix_bits=0, mix_res=2)
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    assert dev == encode_packet(cfg, spec, pcm)
