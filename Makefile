@@ -26,6 +26,10 @@ profile:
 torture:
 	$(PY) hack/torture.py --iters 200
 
+# File-level conformance campaign (random whole M4A/CAF files).
+campaign:
+	$(PY) hack/campaign.py --files 100
+
 # Force-rebuild the native core.
 native:
 	rm -f saprobe_alac_tpu/native/_alac_core.so

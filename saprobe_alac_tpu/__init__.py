@@ -25,7 +25,7 @@ batch-throughput API ``BatchDecoder.decode_packets``.
 """
 
 from .config import PacketConfig, parse_magic_cookie
-from .decode import Decoder, new_decoder
+from .decode import Decoder, decode_file, demux_stream, new_decoder
 from .decoder import BatchDecoder, PacketDecoder
 from .errors import (
     AlacError,
@@ -42,6 +42,7 @@ from .errors import (
     UnsupportedVersion,
 )
 from .formats import ALAC_BIT_DEPTHS, PCMFormat, bytes_per_sample
+from .service import DecodedFile, decode_corpus
 
 __version__ = "0.1.0"
 
@@ -65,6 +66,9 @@ __all__ = [
     "UnsupportedElement",
     "UnsupportedVersion",
     "bytes_per_sample",
+    "decode_corpus",
+    "decode_file",
+    "demux_stream",
     "new_decoder",
     "parse_magic_cookie",
 ]
