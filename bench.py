@@ -145,7 +145,7 @@ def _device_watchdog(timeout_s: float) -> bool:
 
 
 def main() -> int:
-    if not _device_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "240"))):
+    if not _device_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT", "540"))):
         log("ERROR: accelerator unreachable (tunnel down?)")
         print(
             json.dumps(
