@@ -104,3 +104,17 @@ def test_encode_roundtrip(tmp_path):
     r = run_cli("-format", "pcm", str(m4a), str(out))
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == array_to_pcm_bytes(fmt, pcm)
+
+
+def test_cli_decodes_caf(tmp_path):
+    from saprobe_alac_tpu.caf import build_caf
+
+    cfg = make_config(frame_length=512)
+    pcm = music_pcm(1024, 2, 16, seed=44)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    path = tmp_path / "clip.caf"
+    path.write_bytes(build_caf(cfg, pkts))
+    out = tmp_path / "out.pcm"
+    r = run_cli("-format", "pcm", str(path), str(out))
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == expected_pcm_bytes(pcm, 16)

@@ -51,3 +51,24 @@ def test_decode_file_convenience(tmp_path):
     fmt2, arr = decode.decode_file(str(path))
     assert fmt2 == fmt
     assert np.array_equal(arr, pcm)
+
+
+def test_phase_timer_and_profile_batch():
+    from saprobe_alac_tpu.utils.profiling import PhaseTimer, profile_batch_decode
+    from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
+    from conftest import make_config
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
+
+    cfg = make_config(frame_length=64)
+    pcm = music_pcm(128, 2, 16, seed=1)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    timer = profile_batch_decode(cfg, pkts, iters=1)
+    for phase in ("host_pack", "h2d", "walk", "lpc", "epilogue", "d2h"):
+        assert phase in timer.phases
