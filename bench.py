@@ -163,6 +163,12 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: repeat bench runs skip XLA compiles
+        jax.config.update("jax_compilation_cache_dir", str(CACHE / "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from saprobe_alac_tpu.codec.matrixing import pack_pcm
     from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
 
