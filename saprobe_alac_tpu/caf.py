@@ -46,6 +46,9 @@ def _read_chunks(reader: BinaryIO) -> dict[bytes, tuple[int, int]]:
             size = file_end - pos - 12
         if size < 0:  # malformed; also guards the walker's forward progress
             raise NoAlacTrack(f"CAF chunk {ctype!r} has invalid size {size}")
+        # Clamp declared sizes to what the file can actually hold so a
+        # malformed multi-gigabyte kuki/pakt size never triggers a huge read.
+        size = min(size, file_end - pos - 12)
         if ctype not in chunks:  # first wins (spec: one desc/kuki/pakt)
             chunks[ctype] = (pos + 12, size)
         reader.seek(pos + 12 + size)

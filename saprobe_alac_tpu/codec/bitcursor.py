@@ -26,11 +26,20 @@ class BitCursor:
         self.size = len(packet)  # original byte size
 
     def read(self, numbits: int) -> int:
-        """Read up to 32 bits, right-aligned (covers Read/ReadSmall/ReadOne)."""
+        """Read up to 32 bits, right-aligned (covers Read/ReadSmall/ReadOne).
+
+        Reads past the zero pad deterministically return zeros: a short slice
+        is left-justified back to 5 bytes (``int.from_bytes`` alone would
+        right-align it, yielding misaligned garbage), matching the clamped
+        native cursor (native/alac_core.cpp Cursor::clamp).
+        """
         p = self.bitpos
         byteoff = p >> 3
         sh = p & 7
-        w = int.from_bytes(self.data[byteoff : byteoff + 5], "big")  # 40-bit window
+        win = self.data[byteoff : byteoff + 5]
+        if len(win) < 5:
+            win = win + b"\x00" * (5 - len(win))
+        w = int.from_bytes(win, "big")  # 40-bit window
         self.bitpos = p + numbits
         return (w >> (40 - sh - numbits)) & ((1 << numbits) - 1)
 
@@ -64,7 +73,10 @@ def window32(data: bytes, bitpos: int) -> int:
     """
     byteoff = bitpos >> 3
     sh = bitpos & 7
-    w = int.from_bytes(data[byteoff : byteoff + 5], "big")
+    win = data[byteoff : byteoff + 5]
+    if len(win) < 5:  # past the pad: left-justify so overreads are zeros
+        win = win + b"\x00" * (5 - len(win))
+    w = int.from_bytes(win, "big")
     return (w >> (8 - sh)) & 0xFFFFFFFF
 
 
@@ -81,4 +93,5 @@ def get_stream_bits(data: bytes, bitpos: int, numbits: int) -> int:
     # then |= 5th byte >> (7-b): only the low b+1 bits survive.
     byteoff = bitpos >> 3
     b = bitpos & 7
-    return data[byteoff + 4] >> (7 - b)
+    fifth = data[byteoff + 4] if byteoff + 4 < len(data) else 0
+    return fifth >> (7 - b)

@@ -8,7 +8,7 @@ Falls back gracefully (available() == False) when no compiler is present.
 from __future__ import annotations
 
 import ctypes
-import os
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -30,6 +30,15 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 _SRC = _REPO_ROOT / "native" / "alac_core.cpp"
 _SRC_ENC = _REPO_ROOT / "native" / "alac_encode.cpp"
 _SO = Path(__file__).resolve().parent / "_alac_core.so"
+_HASH = _SO.with_suffix(".so.sha256")  # content hash of the sources the .so was built from
+
+
+def _src_digest() -> str:
+    h = hashlib.sha256()
+    for src in (_SRC, _SRC_ENC):
+        if src.exists():
+            h.update(src.read_bytes())
+    return h.hexdigest()
 
 _lock = threading.Lock()
 _lib = None
@@ -94,6 +103,10 @@ def _build() -> str | None:
         return f"g++ invocation failed: {exc}"
     if proc.returncode != 0:
         return f"g++ failed:\n{proc.stderr}"
+    try:
+        _HASH.write_text(_src_digest())
+    except OSError:
+        pass  # read-only tree: the .so still works, just rebuilds next import
     return None
 
 
@@ -102,9 +115,10 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        stale = _SO.exists() and any(
-            src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
-            for src in (_SRC, _SRC_ENC)
+        # Rebuild keyed on a source content hash, not mtimes: git does not
+        # preserve mtimes, so a fresh clone would otherwise load a stale .so.
+        stale = _SO.exists() and (
+            not _HASH.exists() or _HASH.read_text().strip() != _src_digest()
         )
         if not _SO.exists() or stale:
             _build_error = _build()
