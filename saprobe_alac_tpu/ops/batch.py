@@ -5,8 +5,8 @@ and reuses it across calls.  The device program ends with on-device PCM byte
 packing so the device->host transfer is exactly the PCM payload (the
 host<->device link is the throughput-critical resource; compute is ~1000x
 faster than the link).  Packets that trip on-device validation fall back to
-the scalar oracle per packet, reproducing the reference's exact per-packet
-error surface.
+the host path (threaded native core when built, else the scalar oracle),
+reproducing the reference's exact per-packet error surface.
 """
 
 from __future__ import annotations
@@ -30,6 +30,28 @@ from .bitpack import pack_packets
 from .epilogue import extract_escape, extract_shift, finish, pack_output
 from .lpc import lpc_batch
 from .walk import ERR_NONE, walk_batch
+
+def _host_decode(config: PacketConfig, packets: Sequence[bytes]) -> list[bytes]:
+    """Host-side decode at the fastest available speed.
+
+    Fallback order auto -> native -> scalar: the threaded C++ core (~280x
+    realtime) when built, else the Python oracle (~0.3x).  Packets the native
+    core rejects are re-run through the oracle so genuinely malformed input
+    raises the oracle's typed exception either way.
+    """
+    from .. import native
+
+    if native.available():
+        out, lens, errs = native.decode_batch(config, list(packets))
+        results: list[bytes] = []
+        for i, p in enumerate(packets):
+            if errs[i] != 0:
+                results.append(scalar_decode_packet(config, p)[0])  # raises typed error
+            else:
+                results.append(out[i, : lens[i]].tobytes())
+        return results
+    return [scalar_decode_packet(config, p)[0] for p in packets]
+
 
 #: Bucket granularity steps: powers of two and midpoints (1.5x), bounding
 #: recompiles to ~2 per octave while keeping padding waste <= 33%.
@@ -86,7 +108,7 @@ class JaxBatchDecoder:
         self._bps_frame = bytes_per_sample(config.bit_depth) * config.num_channels
         # Degenerate entropy tuning (kb == 0) relies on Go uint32 bit-position
         # wrap semantics, and absurd frame lengths would blow device memory;
-        # route such streams to the scalar oracle wholesale.
+        # route such streams to the host path (native core, else oracle).
         self._scalar_only = config.kb == 0 or not 1 <= config.frame_length <= (1 << 16)
 
     def _stage(self, packets: Sequence[bytes]):
@@ -134,11 +156,15 @@ class JaxBatchDecoder:
         err = np.asarray(err)
         ns = np.asarray(ns)
 
+        fb_idx = [i for i in range(len(packets)) if err[i] != ERR_NONE]
+        fb: dict[int, bytes] = {}
+        if fb_idx:
+            decoded = _host_decode(cfg, [packets[i] for i in fb_idx])
+            fb = dict(zip(fb_idx, decoded))
         results: list[bytes] = []
-        for i, packet in enumerate(packets):
-            if err[i] != ERR_NONE:
-                pcm, _ = scalar_decode_packet(cfg, packet)  # raises on real errors
-                results.append(pcm)
+        for i in range(len(packets)):
+            if i in fb:
+                results.append(fb[i])
             else:
                 results.append(self._to_bytes(packed[i], int(ns[i])))
         return results
@@ -151,5 +177,5 @@ class JaxBatchDecoder:
         (degenerate widths), keeping output bit-exact either way.
         """
         if self._scalar_only:
-            return [scalar_decode_packet(self.config, p)[0] for p in packets]
+            return _host_decode(self.config, packets)
         return self.finish_async(self.decode_async(packets), packets)
