@@ -71,8 +71,12 @@ def main() -> int:
         backends = ["scalar"]
         if native.available():
             backends.append("native")
-        if args.jax_every and it % args.jax_every == 0 and frame <= 1024:
-            backends.append("jax")
+        # Every jax-th file runs the device path, including the production
+        # frame length; 4096 compiles once per (depth, ch) and is sampled at
+        # half the rate of the short frames to bound campaign wall-clock.
+        if args.jax_every and it % args.jax_every == 0:
+            if frame <= 1024 or it % (2 * args.jax_every) == 0:
+                backends.append("jax")
 
         for backend in backends:
             dec = new_decoder(io.BytesIO(blob), backend=backend, batch_size=16)

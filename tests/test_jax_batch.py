@@ -157,6 +157,32 @@ def test_mixed_divergent_batch():
     assert got == want
 
 
+def test_production_frame_4096():
+    """Device-vs-oracle at the production frame length (every real ALAC file
+    uses F=4096).  Guards frame-length-dependent failure modes the short-frame
+    suite cannot see: bit-position growth, bucket edges, while-loop caps.
+    Parity: reference conformance matrix always runs at 4096
+    (tests/conformance_test.go:568-628)."""
+    cfg = make_config(depth=16, channels=2, frame_length=4096)
+    specs = [
+        EncoderSpec(),
+        EncoderSpec(escape=True),
+        EncoderSpec(channel=ChannelSpec(order=31)),
+        EncoderSpec(channel=ChannelSpec(order=8)),
+    ]
+    pkts = []
+    for i, spec in enumerate(specs):
+        pcm = music_pcm(4096, 2, 16, seed=200 + i, tonality=0.95 if i % 2 else 0.2)
+        pkts.append(encode_packets(cfg, spec, pcm)[0])
+    # partial final frame + a silent frame (deep zero runs at scale)
+    pkts.append(encode_packets(cfg, EncoderSpec(), music_pcm(4096 - 321, 2, 16, seed=204))[0])
+    pkts.append(encode_packets(cfg, EncoderSpec(), np.zeros((4096, 2), dtype=np.int64))[0])
+
+    got = JaxBatchDecoder(cfg).decode_packets(pkts)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    assert got == want
+
+
 def test_tiny_partial_frames_device():
     cfg = make_config(depth=16, channels=2, frame_length=FRAME)
     pkts = []
