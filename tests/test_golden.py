@@ -1,0 +1,151 @@
+"""Golden vectors: literal packet bytes -> literal expected PCM.
+
+Every other correctness test in this repo is differential between
+implementations that share an author; a shared misreading of the format
+would pass them all.  These vectors are the external anchor: the packet
+bytes AND the expected PCM below are hand-derived from the spec math
+(reference decoder.go / golomb.go / predictor.go / matrix.go studied as the
+format specification) — no repo code generates either side at test time.
+
+All three implementations (Python oracle, C++ native core, JAX device
+pipeline) must decode each literal packet to its literal PCM.
+
+Shared config for all vectors: frame_length=4096, pb=40, mb=10, kb=14,
+max_run=255 (Apple-standard tuning), 16-bit.  All packets use the
+partial-frame flag so the hand-assembled streams stay a few samples long.
+
+Derivation conventions (bitstream is MSB-first):
+  element = tag(3) instance(4) unused(12,=0) [partial(1) shift(2) escape(1)]
+            [numSamples(32) if partial]
+  compressed body = mixBits(8) mixRes(8) then per channel:
+            {mode(4) denShift(4) pbFactor(3) num(5) coefs(16 each)}
+  entropy: adaptive Golomb-Rice, mean starts at mb=10, so the first
+  codeword has k = lg3a(10>>9) = lg3a(0) = 1 -> unary prefix only, n = #ones.
+  sign decode: ndecode = n + zmode; del = +/-((ndecode+1)>>1), LSB = sign.
+  mean update: mean' = pb*(n+zmode) + mean - ((pb*mean)>>9).
+  zero-run mode triggers when mean'<<2 < 512; run length is a secondary
+  Golomb code with k32 = lead32(mean')-24 + ((mean'+16)>>6), m = (1<<k32)-1.
+"""
+
+import numpy as np
+import pytest
+
+from saprobe_alac_tpu import native
+from saprobe_alac_tpu.codec import decode_packet as oracle
+from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+from conftest import make_config
+
+# ---------------------------------------------------------------------------
+# Vector 1 — SCE escape path, mono 16-bit, 4 samples.
+#
+# Bits: 000 0000 (SCE, instance 0) + 12x0 + 1001 (partial, shift=0, escape=1)
+#       + numSamples=4 (32b) + four raw 16-bit samples
+#       {0x0001, 0xFFFF, 0x7FFF, 0x8000} + END(111) + pad.
+# Escape with chanBits=16 sign-extends each raw read: 1, -1, 32767, -32768.
+PKT_ESCAPE_SCE = bytes.fromhex("000012000000080003fffeffff0001c0")
+PCM_ESCAPE_SCE = bytes.fromhex("0100ffffff7f0080")
+
+# ---------------------------------------------------------------------------
+# Vector 2 — SCE compressed, order 0 (num=0), zero-run mode, 8 samples.
+#
+# Header: 1000 (partial, no shift, compressed), ns=8; mixBits=mixRes=0
+# (unused for mono); mode=0 denShift=0 (byte 0x00); pbFactor=4 num=0
+# (byte 0x80); no coefs.  Entropy stream, mean trace:
+#   n=2 ("110")      -> del=+1, mean 10->90; 90<<2<512 => zero-run,
+#                       k32 = (25-24)+((90+16)>>6)=2, m=3
+#   run=3 ("100")    -> pre=1, v=0<2 => run=1*3, consumes prefix+1 bit;
+#                       fills 3 zeros, zmode stays 1, mean=0
+#   n=0 ("0"), z=1   -> ndecode=1 => del=-1, mean=40; 160<512 => zero-run
+#                       k32=(26-24)+((40+16)>>6)=2, m=3
+#   run=0 ("00")     -> pre=0, v<2 => run 0, zmode stays 1, mean=0
+#   n=4 ("11110"),z=1-> ndecode=5 => del=-3, mean=200 (800>=512, no run)
+#   n=1 ("10")       -> ndecode=1 => del=-1, mean=40+200-((8000)>>9)=225
+#   n=6 ("1111110")  -> ndecode=6 => del=+3, count=8 done
+# Order 0 => output = residuals: [1,0,0,0,-1,-3,-1,3].
+PKT_ORDER0_ZERORUN = bytes.fromhex("0000100000001000000101a0f5fb80")
+PCM_ORDER0_ZERORUN = np.array([1, 0, 0, 0, -1, -3, -1, 3], dtype="<i2").tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 3 — SCE compressed, order-31 first-order delta mode, 4 samples.
+#
+# num=31 (pb/num byte 0x9F) with 31 zero coefficients (496 zero bits —
+# ignored by the delta path).  Entropy (same mean trace math as above):
+#   "110" n=2 -> del=+1; mean 90 => zero-run k32=2: "00" run=0, mean=0
+#   "0" n=0,z=1 -> del=-1; mean 40 => zero-run k32=2: "00" run=0, mean=0
+#   "1110" n=3,z=1 -> ndecode=4 => del=+2; mean=160 (no run)
+#   "1110" n=3 -> ndecode=3 => del=-2
+# Residuals [1,-1,2,-2]; delta decode: out[i] = out[i-1] + r[i] ->
+# [1, 0, 2, 0].
+PKT_ORDER31_DELTA = (
+    bytes.fromhex("000010000000080000013e") + b"\x00" * 61 + bytes.fromhex("0181ddc0")
+)
+PCM_ORDER31_DELTA = np.array([1, 0, 2, 0], dtype="<i2").tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 4 — CPE stereo unmix, 2 samples, mixBits=1 mixRes=1.
+#
+# Tag 001 (CPE), chanBits = 16+1 = 17.  U channel entropy: "110" (del=+1,
+# mean 90 => zero-run k32=2 m=3) + "010" (pre=0, v=2 => run = 0*3+2-1 = 1)
+# -> U = [1, 0].  V: "110" (del=+1) + "00" (run 0) + "10" (n=1, z=1,
+# ndecode=2 => del=+1) -> V = [1, 1].
+# Unmix: left = U + V - ((mixRes*V)>>mixBits); right = left - V:
+#   s0: left=1+1-(1>>1)=2, right=1;  s1: left=0+1-0=1, right=0.
+PKT_CPE_UNMIX = bytes.fromhex("20001000000004020201000101962e".replace(" ", ""))
+PCM_CPE_UNMIX = np.array([2, 1, 1, 0], dtype="<i2").tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 5 — SCE adaptive LPC, order 1, denShift=1, coef0=2, 4 samples.
+#
+# mode/denShift byte 0x01, pb/num byte 0x81 (pbFactor=4, num=1),
+# coef0 = 0x0002.  Entropy: "1111110" n=6 -> del=+3 (mean 250);
+# "110" n=2 -> del=+1 (mean 311); "110" -> del=+1 (mean 367);
+# "1110" n=3 -> del=-2.  Residuals [3, 1, 1, -2].
+# Predictor trace (unpcBlockGeneral, lim=2, denHalf=1):
+#   warm-up: out[0]=3, out[1]=1+3=4
+#   idx2: top=3, sum1=2*(4-3)=2, del=1+3+((2+1)>>1)=5 -> out[2]=5;
+#         sign>0 adapt: dd=3-4=-1 -> c0=3, del0=1-((1)>>1)=1 (no break)
+#   idx3: top=4, sum1=3*(5-4)=3, del=-2+4+((3+1)>>1)=4 -> out[3]=4;
+#         sign<0 adapt: dd=4-5=-1 -> c0=2, del0=-2-((-1)>>1 = -1)=-1
+# Output [3, 4, 5, 4].
+PKT_LPC_ORDER1 = bytes.fromhex("000010000000080000030200 05fb6ee0".replace(" ", ""))
+PCM_LPC_ORDER1 = np.array([3, 4, 5, 4], dtype="<i2").tobytes()
+
+
+VECTORS = [
+    pytest.param(1, PKT_ESCAPE_SCE, PCM_ESCAPE_SCE, id="escape-sce"),
+    pytest.param(1, PKT_ORDER0_ZERORUN, PCM_ORDER0_ZERORUN, id="order0-zerorun"),
+    pytest.param(1, PKT_ORDER31_DELTA, PCM_ORDER31_DELTA, id="order31-delta"),
+    pytest.param(2, PKT_CPE_UNMIX, PCM_CPE_UNMIX, id="cpe-unmix"),
+    pytest.param(1, PKT_LPC_ORDER1, PCM_LPC_ORDER1, id="lpc-order1-adapt"),
+]
+
+
+@pytest.mark.parametrize("channels,packet,want", VECTORS)
+def test_golden_oracle(channels, packet, want):
+    cfg = make_config(depth=16, channels=channels)
+    got, _ = oracle(cfg, packet)
+    assert got == want
+
+
+@pytest.mark.parametrize("channels,packet,want", VECTORS)
+@pytest.mark.skipif(not native.available(), reason="no native core")
+def test_golden_native(channels, packet, want):
+    cfg = make_config(depth=16, channels=channels)
+    assert native.decode_packet(cfg, packet) == want
+
+
+def test_golden_device_batch():
+    """All vectors of one shape through the device pipeline in one batch."""
+    cfg = make_config(depth=16, channels=1)
+    mono = [(p, w) for ch, p, w in
+            [(1, PKT_ESCAPE_SCE, PCM_ESCAPE_SCE),
+             (1, PKT_ORDER0_ZERORUN, PCM_ORDER0_ZERORUN),
+             (1, PKT_ORDER31_DELTA, PCM_ORDER31_DELTA),
+             (1, PKT_LPC_ORDER1, PCM_LPC_ORDER1)] if ch == 1]
+    got = JaxBatchDecoder(cfg).decode_packets([p for p, _ in mono])
+    assert got == [w for _, w in mono]
+
+    cfg2 = make_config(depth=16, channels=2)
+    got2 = JaxBatchDecoder(cfg2).decode_packets([PKT_CPE_UNMIX])
+    assert got2 == [PCM_CPE_UNMIX]
