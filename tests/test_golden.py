@@ -112,6 +112,36 @@ PKT_LPC_ORDER1 = bytes.fromhex("000010000000080000030200 05fb6ee0".replace(" ", 
 PCM_LPC_ORDER1 = np.array([3, 4, 5, 4], dtype="<i2").tobytes()
 
 
+# ---------------------------------------------------------------------------
+# Vector 6 — zero-run k32 boundary: mean exactly 48 at zero-run entry.
+#
+# (mean+16)>>6 in the run-length k32 formula changes value only when
+# mean+16 is a multiple of 64; with mean<<2 < 512 that means mean must be
+# exactly 48 or 112.  Config pb=48, mb=0 reaches 48 on the first sample:
+#   s0: mean=0, k=1; "10" n=1 -> del=-1; mean = 48*1 = 48
+#       48<<2 = 192 < 512 => zero-run, k32 = (26-24) + ((48+16)>>6) = 3, m=7
+#   run=2 ("0011"): pre=0, v=0b011=3>=2 => run = 0*7+3-1 = 2 -> two zeros
+#   s3: "110" n=2, z=1 -> ndecode=3 => del=-2
+# Order 0 => PCM [-1, 0, 0, -2].  A decoder computing k32=2 here desyncs.
+PKT_ZERORUN_K32_EDGE = bytes.fromhex("00001000000008000001011ee0")
+PCM_ZERORUN_K32_EDGE = np.array([-1, 0, 0, -2], dtype="<i2").tobytes()
+
+
+def _edge_config():
+    return make_config(depth=16, channels=1, pb=48, mb=0, kb=14)
+
+
+def test_golden_zerorun_k32_edge_all_impls():
+    cfg = _edge_config()
+    got, _ = oracle(cfg, PKT_ZERORUN_K32_EDGE)
+    assert got == PCM_ZERORUN_K32_EDGE
+    if native.available():
+        assert native.decode_packet(cfg, PKT_ZERORUN_K32_EDGE) == PCM_ZERORUN_K32_EDGE
+    assert JaxBatchDecoder(cfg).decode_packets([PKT_ZERORUN_K32_EDGE]) == [
+        PCM_ZERORUN_K32_EDGE
+    ]
+
+
 VECTORS = [
     pytest.param(1, PKT_ESCAPE_SCE, PCM_ESCAPE_SCE, id="escape-sce"),
     pytest.param(1, PKT_ORDER0_ZERORUN, PCM_ORDER0_ZERORUN, id="order0-zerorun"),
