@@ -30,9 +30,7 @@ def main() -> int:
     cfg, packets, _ = make_fixture()
     batch = [packets[i % len(packets)] for i in range(args.batch)]
 
-    # Warm (compile) outside the measurement.
-    profile_batch_decode(cfg, batch, iters=1)
-
+    # (profile_batch_decode runs its own untimed warm iteration.)
     if args.trace:
         with device_trace(args.trace):
             timer = profile_batch_decode(cfg, batch, iters=args.iters)

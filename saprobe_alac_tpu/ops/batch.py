@@ -74,7 +74,14 @@ def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, k
     w = walk_batch(words, size_bits, F, C, depth, pb, mb, kb)
 
     # Escape channels: raw extraction into the residual planes (order == 0).
-    res = extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C)
+    # Escape elements are rare in real streams (encoders only emit them when
+    # compression loses), so the whole-batch bit gather is skipped unless some
+    # lane actually needs it.
+    res = jax.lax.cond(
+        jnp.any(w.esc == 1),
+        lambda: extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
+        lambda: w.res,
+    )
 
     # LPC reconstruction over (B*C) lanes.
     L = B * C
@@ -95,7 +102,13 @@ def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, k
         F,
     ).reshape(B, C, F)
 
-    shift_vals = extract_shift(words, w.shift_base, w.bs, w.role, F, C)
+    # bytesShifted > 0 only appears on 24/32-bit streams; skip the fixed-stride
+    # gather entirely when no lane carries a shift region.
+    shift_vals = jax.lax.cond(
+        jnp.any(w.bs > 0),
+        lambda: extract_shift(words, w.shift_base, w.bs, w.role, F, C),
+        lambda: jnp.zeros((B, C, F), jnp.int32),
+    )
     out = finish(mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, depth)
     return pack_output(out, depth), w.err, w.ns
 

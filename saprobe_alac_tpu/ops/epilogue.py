@@ -109,14 +109,21 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_l
     if depth == 20:
         vals = s(jax.lax.shift_left(u(vals), U32(4)))
 
-    # MPEG -> SMPTE remap via recorded out_chan (decoder.go:55-64).  Slots
-    # without a decoded element scatter into a dummy channel so they cannot
-    # clobber real output (their SMPTE positions stay zero).
-    out = jnp.zeros((B, F, C + 1), I32)
-    for c in range(C):
-        oc = jnp.where(filled[:, c] != 0, out_chan[:, c], C)
-        out = out.at[jnp.arange(B), :, oc].set(vals[:, c])
-    return out[:, :, :C]
+    # MPEG -> SMPTE remap via recorded out_chan (decoder.go:55-64).  Built as
+    # selects per output position rather than a scatter (TPU scatters over a
+    # per-lane minor index serialize); out_chan is a permutation per lane, so
+    # each output channel has at most one source.  Later slots win on
+    # (malformed) duplicates, matching the former scatter's write order; slots
+    # without a decoded element leave their SMPTE positions zero, matching the
+    # reference's zeroed output buffer.
+    planes = []
+    for c_out in range(C):
+        acc = jnp.zeros((B, F), I32)
+        for c in range(C):
+            sel = (filled[:, c] != 0) & (out_chan[:, c] == c_out)
+            acc = jnp.where(sel[:, None], vals[:, c], acc)
+        planes.append(acc)
+    return jnp.stack(planes, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("depth",))

@@ -70,7 +70,36 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
     cfg = config
     F, C = cfg.frame_length, cfg.num_channels
 
-    for _ in range(iters):
+    # Phase functions jitted once: eager lax.cond with fresh lambdas would
+    # retrace every iteration and bill compile time to the phase.
+    @jax.jit
+    def escape_step(jw, w):
+        return jax.lax.cond(
+            jnp.any(w.esc == 1),
+            lambda: extract_escape(jw, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
+            lambda: w.res,
+        )
+
+    @jax.jit
+    def shift_step(jw, w):
+        B = jw.shape[0]
+        return jax.lax.cond(
+            jnp.any(w.bs > 0),
+            lambda: extract_shift(jw, w.shift_base, w.bs, w.role, F, C),
+            lambda: jnp.zeros((B, C, F), jnp.int32),
+        )
+
+    # Warm pass: the phase closures above are created fresh per call, so their
+    # first execution compiles; run one untimed iteration so compile time is
+    # never billed to a phase.  (Each timed phase still pays the ~30 ms
+    # dispatch round-trip of the sandbox tunnel; the production pipeline is a
+    # single jit and pays it once per batch.)
+    warm = -1
+
+    for warm in range(-1, iters):
+        if warm == 0:
+            timer.phases.clear()
+            timer.counts.clear()
         with timer.phase("host_pack"):
             words_np, sizes_np = pack_packets(list(packets))
             Wb = _bucket(words_np.shape[1], floor=16)
@@ -90,7 +119,9 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
             jax.block_until_ready(tuple(w))
 
         with timer.phase("escape"):
-            res = extract_escape(jw, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C)
+            # Mirrors ops/batch.py: the raw-sample gather only runs when some
+            # lane actually carries an escape element.
+            res = escape_step(jw, w)
             jax.block_until_ready(res)
 
         with timer.phase("lpc"):
@@ -108,7 +139,7 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
             jax.block_until_ready(mix)
 
         with timer.phase("epilogue"):
-            sv = extract_shift(jw, w.shift_base, w.bs, w.role, F, C)
+            sv = shift_step(jw, w)
             out = finish(
                 mix.reshape(Bb, C, F), sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, cfg.bit_depth
             )
