@@ -15,6 +15,7 @@ golomb.go:112-253 (entropy), bitbuffer.go (cursor semantics).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -24,7 +25,7 @@ import numpy as np
 
 from ..codec.element import CHANNEL_LAYOUT_OFFSETS
 from .jaxint import I32, U32, clz, lg3a, s, sext, sext16, shl, sshr, u, ushr
-from .streambits import vread, window32
+from .streambits import vread
 
 #: Slots beyond the channel-filling elements, for DSE/FIL/END interleave.
 EXTRA_SLOTS = 4
@@ -63,21 +64,61 @@ class WalkResult(NamedTuple):
     filled: jnp.ndarray  # (B, C) 1 if a channel element actually decoded here
 
 
+#: Register-window geometry for the entropy loop.  Each while-loop iteration
+#: fetches a 512-bit window — two _BLK-word blocks selected by masked reduces
+#: over the packed words (gathers at per-lane minor indices serialize on TPU
+#: and cost ~8us each; a masked reduce over the whole row vectorizes) — and
+#: then decodes up to _K_MICRO samples from those registers before refilling.
+#: The worst-case sample costs 66 bits (escape codeword 9+32 plus zero-run
+#: code 9+16), so a lane keeps decoding while its window offset is
+#: <= _NWIN*32-66; typical music residuals are 6-15 bits, so one fetch serves
+#: ~20+ samples.  _K_MICRO amortizes the per-iteration residual scatter,
+#: which has a ~45us fixed cost on TPU regardless of column count.
+_BLK = 8
+_NWIN = 2 * _BLK
+_K_MICRO = int(os.environ.get("SAPROBE_WALK_K", "20"))
+
+#: Bit budget that guarantees one full sample decode from the window.
+_WORST_SAMPLE_BITS = 66
+
+
+def _wsel(arr, j):
+    """arr[j] for a list of _NWIN (B,) registers and per-lane j in [0, _NWIN)
+    — a log2(_NWIN)-level binary select tree (no memory traffic)."""
+    level = list(arr)
+    bit = 1
+    while len(level) > 1:
+        level = [
+            jnp.where((j & bit) != 0, level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+        bit <<= 1
+    return level[0]
+
+
 def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_local, max_size, ns, cfg):
     """Entropy-decode one channel for all active lanes (lockstep while loop).
 
-    Returns (bitpos, err, res).  Residual writes target res[(B, C*F+1)] flat
-    with a dummy column for masked lanes.
+    Returns (bitpos, err, res).  Residual writes target res[(B, C*F+_K_MICRO)]
+    flat; masked micro-steps land in the _K_MICRO dummy tail columns (one per
+    micro-step, keeping scatter indices sorted and unique).
     """
     F = cfg["frame_length"]
     kb = cfg["kb"]
     wb = (1 << kb) - 1 if kb < 32 else 0xFFFFFFFF
     mb0 = cfg["mb"]
-    dummy = res.shape[1] - 1
+    CF = res.shape[1] - _K_MICRO  # dummy tail base
+    B = bitpos.shape[0]
+    lanes = jnp.arange(B)[:, None]
+    # Word buckets are multiples of _BLK (bucket floor 16, steps x1.5/x2).
+    nblk = words.shape[1] // _BLK
+    words_blk = words.reshape(B, nblk, _BLK)
+    iota_blk = jnp.arange(nblk, dtype=I32)[None, :]
 
-    # Every iteration decodes >= 1 sample per active lane, so F iterations
-    # suffice; the guard makes divergence impossible even under bugs/adversarial
-    # streams (stuck lanes error out instead of hanging the device).
+    # Every iteration decodes >= 1 sample per active lane (the first
+    # micro-step's window-budget test always passes: off0 <= 255 <= 446), so
+    # F iterations suffice; the guard makes divergence impossible even under
+    # bugs/adversarial streams (stuck lanes error out instead of hanging).
     max_iters = F + 4
 
     def cond(st):
@@ -86,89 +127,154 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
     def body(st):
         act, bitpos, err, count, mean, zmode, res, iters = st
 
-        # Overrun guard (golomb.go:168-170); negative bitpos = Go uint32 wrap.
-        over = act & ((bitpos >= size_bits) | (bitpos < 0))
-        err = jnp.where(over, ERR_OVERRUN, err)
-        act = act & ~over
+        # Window fetch: the two consecutive _BLK-word blocks covering each
+        # lane's cursor (block-aligned, so the in-window start offset is
+        # bitpos mod 256).  Out-of-range blocks match nothing and read as
+        # zero — the same observable behavior as the reference's zero padding
+        # (bitbuffer.go:28-32).  Negative bitpos (Go uint32 wrap on
+        # adversarial streams) is caught by the in-step overrun guard.
+        bi = sshr(bitpos, 8)
+        off0 = bitpos & (_BLK * 32 - 1)
+        relb = iota_blk - bi[:, None]
+        b0 = jnp.sum(jnp.where((relb == 0)[:, :, None], words_blk, 0), axis=1)
+        b1 = jnp.sum(jnp.where((relb == 1)[:, :, None], words_blk, 0), axis=1)
+        ws = [b0[:, k] for k in range(_BLK)] + [b1[:, k] for k in range(_BLK)]
+        wsb = ws[1:] + [jnp.zeros_like(ws[0])]  # word j+1 lookup table
 
-        m0 = s(jax.lax.shift_right_logical(u(mean), U32(9)))
-        k = jnp.minimum(lg3a(m0), kb)
-        m = shl(1, k) - 1
+        def win32(off):
+            """The true 32 stream bits at window bit-offset ``off`` (int32
+            pattern).  Offsets may run past the last fetched word; missing
+            low bits read as zero, and every consumer below only uses bits
+            that are in range (worst case: the zero-run window's top 25 bits
+            at off <= 487, exactly reaching bit 512 of the window)."""
+            j = sshr(off, 5)
+            r = off & 31
+            a = u(_wsel(ws, j))
+            b = u(_wsel(wsb, j))
+            win = jax.lax.shift_left(a, u(r)) | jax.lax.shift_right_logical(
+                jax.lax.shift_right_logical(b, U32(1)), u(31 - r)
+            )
+            return s(win)
 
-        win = window32(words, bitpos)
-        pre = clz(~win)
+        base = shl(bi, 8)  # wrapping bi*256; base + off reconstructs bitpos
 
-        # Escape: prefix >= 9 -> raw max_size bits (golomb.go:184-186).
-        is_esc = pre >= 9
-        val_esc = vread(words, bitpos + 9, jnp.maximum(max_size, 1))
-        bits_esc = 9 + max_size
+        # Micro-step loop: decode up to _K_MICRO samples from the fetched
+        # registers.  A fori_loop (not a Python unroll) keeps the XLA graph —
+        # and compile time — O(1) in _K_MICRO; the (B, _K_MICRO) index/value
+        # staging buffers are updated with dynamic_update_slice columns, which
+        # XLA keeps in place inside loop bodies, then flushed to ``res`` with
+        # ONE scatter per outer iteration (the scatter's ~45us fixed cost on
+        # TPU is what _K_MICRO amortizes).
+        def micro(k_step, mst):
+            act, err, count, mean, zmode, off, idx_buf, val_buf = mst
+            live = act & (off <= _NWIN * 32 - _WORST_SAMPLE_BITS)
 
-        # Normal: value from prefix and k-bit remainder (golomb.go:188-201).
-        win2 = shl(win, pre + 1)
-        v = ushr(win2, 32 - k)  # k >= 1 in practice; k=0 gives v=win2 (harmless, see below)
-        vbig = v >= 2
-        val_n = jnp.where(
-            k != 1,
-            jnp.where(vbig, pre * m + v - 1, pre * m),
-            pre,
+            # Overrun guard (golomb.go:168-170); negative = Go uint32 wrap.
+            curpos = base + off
+            over = live & ((curpos >= size_bits) | (curpos < 0))
+            err = jnp.where(over, ERR_OVERRUN, err)
+            act = act & ~over
+            live = live & ~over
+
+            m0 = s(jax.lax.shift_right_logical(u(mean), U32(9)))
+            k = jnp.minimum(lg3a(m0), kb)
+            m = shl(1, k) - 1
+
+            win = win32(off)
+            pre = clz(~win)
+
+            # Escape: prefix >= 9 -> raw max_size bits (golomb.go:184-186).
+            is_esc = pre >= 9
+            val_esc = ushr(win32(off + 9), 32 - jnp.maximum(max_size, 1))
+            bits_esc = 9 + max_size
+
+            # Normal: value from prefix and k-bit remainder (golomb.go:188-201).
+            win2 = shl(win, pre + 1)
+            v = ushr(win2, 32 - k)  # k=0 gives v=win2 (harmless: k!=1 branch)
+            vbig = v >= 2
+            val_n = jnp.where(
+                k != 1,
+                jnp.where(vbig, pre * m + v - 1, pre * m),
+                pre,
+            )
+            bits_n = pre + 1 + jnp.where(k != 1, jnp.where(vbig, k, k - 1), 0)
+
+            value = jnp.where(is_esc, val_esc, val_n)
+            nbits = jnp.where(is_esc, bits_esc, bits_n)
+
+            # Signed mapping (golomb.go:206-212), wrapping 32-bit.
+            nd = value + zmode
+            mult = 1 - 2 * (nd & 1)
+            delta = s(jax.lax.shift_right_logical(u(nd + 1), U32(1))) * mult
+
+            # Live samples write their residual slot; masked micro-steps land
+            # in the per-step dummy tail (live steps precede dead steps within
+            # an iteration, so indices stay sorted & unique for the scatter).
+            idx_buf = idx_buf.at[:, k_step].set(jnp.where(live, cur_chan * F + count, CF + k_step))
+            val_buf = val_buf.at[:, k_step].set(jnp.where(live, delta, 0))
+
+            count_n = jnp.where(live, count + 1, count)
+            off_n = jnp.where(live, off + nbits, off)
+
+            # Adaptive mean (golomb.go:215-218): uint32 wrap arithmetic.
+            pbl = u(pb_local)
+            mean_n = s(pbl * u(nd) + u(mean) - jax.lax.shift_right_logical(pbl * u(mean), U32(9)))
+            mean_n = jnp.where(u(value) > 0xFFFF, 0xFFFF, mean_n)
+            mean = jnp.where(live, mean_n, mean)
+            zmode = jnp.where(live, 0, zmode)
+
+            # Zero-run mode (golomb.go:223-246); (mean<<2) < 512 unsigned.
+            zcond = live & (u(shl(mean, 2)) < 512) & (count_n < ns)
+            k32 = jnp.maximum(clz(mean) - 24 + s(jax.lax.shift_right_logical(u(mean + 16), U32(6))), 0)
+            mz = (shl(1, k32) - 1) & wb
+
+            zwin = win32(off_n)
+            zpre = clz(~zwin)
+            z_esc = zpre >= 9
+            zval_esc = ushr(shl(zwin, 9), 16)
+            zbits_esc = 9 + 16
+            zwin2 = shl(zwin, zpre + 1)
+            zv = ushr(zwin2, 32 - jnp.maximum(k32, 1))
+            zv = jnp.where(k32 == 0, 0, zv)
+            zvbig = zv >= 2
+            zval_n = jnp.where(zvbig, zpre * mz + zv - 1, zpre * mz)
+            zbits_n = zpre + 1 + jnp.where(zvbig, k32, k32 - 1)
+            zrun = jnp.where(z_esc, zval_esc, zval_n)
+            zbits = jnp.where(z_esc, zbits_esc, zbits_n)
+
+            zover = zcond & (count_n + zrun > ns)
+            err = jnp.where(zover, ERR_SAMPLES, err)
+            act = act & ~zover
+            zcond = zcond & ~zover
+
+            count_n = jnp.where(zcond, count_n + zrun, count_n)
+            off_n = jnp.where(zcond, off_n + zbits, off_n)
+            zmode = jnp.where(zcond, jnp.where(zrun >= 65535, 0, 1), zmode)
+            mean = jnp.where(zcond, 0, mean)
+
+            act = act & (count_n < ns) & (err == ERR_NONE)
+            return act, err, count_n, mean, zmode, off_n, idx_buf, val_buf
+
+        mst = (
+            act,
+            err,
+            count,
+            mean,
+            zmode,
+            off0,
+            jnp.full((B, _K_MICRO), CF, I32),
+            jnp.zeros((B, _K_MICRO), I32),
         )
-        bits_n = pre + 1 + jnp.where(k != 1, jnp.where(vbig, k, k - 1), 0)
+        act, err, count, mean, zmode, off, idx_buf, val_buf = jax.lax.fori_loop(
+            0, _K_MICRO, micro, mst
+        )
 
-        value = jnp.where(is_esc, val_esc, val_n)
-        nbits = jnp.where(is_esc, bits_esc, bits_n)
+        res = res.at[lanes, idx_buf].set(
+            val_buf, indices_are_sorted=True, unique_indices=True
+        )
+        bitpos = base + off
+        return act, bitpos, err, count, mean, zmode, res, iters + 1
 
-        # Signed mapping (golomb.go:206-212), wrapping 32-bit.
-        nd = value + zmode
-        mult = 1 - 2 * (nd & 1)
-        delta = s(jax.lax.shift_right_logical(u(nd + 1), U32(1))) * mult
-
-        # Masked lanes scatter into the dummy column.
-        idx = jnp.where(act, cur_chan * F + count, dummy)
-        res = res.at[jnp.arange(res.shape[0]), idx].set(jnp.where(act, delta, 0))
-
-        count_n = jnp.where(act, count + 1, count)
-        bitpos = jnp.where(act, bitpos + nbits, bitpos)
-
-        # Adaptive mean (golomb.go:215-218): uint32 wrap arithmetic.
-        pbl = u(pb_local)
-        mean_n = s(pbl * u(nd) + u(mean) - jax.lax.shift_right_logical(pbl * u(mean), U32(9)))
-        mean_n = jnp.where(u(value) > 0xFFFF, 0xFFFF, mean_n)
-        mean = jnp.where(act, mean_n, mean)
-        zmode = jnp.where(act, 0, zmode)
-
-        # Zero-run mode (golomb.go:223-246); (mean<<2) < 512 is unsigned in Go.
-        zcond = act & (u(shl(mean, 2)) < 512) & (count_n < ns)
-        k32 = jnp.maximum(clz(mean) - 24 + s(jax.lax.shift_right_logical(u(mean + 16), U32(6))), 0)
-        mz = (shl(1, k32) - 1) & wb
-
-        zwin = window32(words, bitpos)
-        zpre = clz(~zwin)
-        z_esc = zpre >= 9
-        zval_esc = ushr(shl(zwin, 9), 16)
-        zbits_esc = 9 + 16
-        zwin2 = shl(zwin, zpre + 1)
-        zv = ushr(zwin2, 32 - jnp.maximum(k32, 1))
-        zv = jnp.where(k32 == 0, 0, zv)
-        zvbig = zv >= 2
-        zval_n = jnp.where(zvbig, zpre * mz + zv - 1, zpre * mz)
-        zbits_n = zpre + 1 + jnp.where(zvbig, k32, k32 - 1)
-        zrun = jnp.where(z_esc, zval_esc, zval_n)
-        zbits = jnp.where(z_esc, zbits_esc, zbits_n)
-
-        zover = zcond & (count_n + zrun > ns)
-        err = jnp.where(zover, ERR_SAMPLES, err)
-        act = act & ~zover
-        zcond = zcond & ~zover
-
-        count_n = jnp.where(zcond, count_n + zrun, count_n)
-        bitpos = jnp.where(zcond, bitpos + zbits, bitpos)
-        zmode = jnp.where(zcond, jnp.where(zrun >= 65535, 0, 1), zmode)
-        mean = jnp.where(zcond, 0, mean)
-
-        act = act & (count_n < ns) & (err == ERR_NONE)
-        return act, bitpos, err, count_n, mean, zmode, res, iters + 1
-
-    B = bitpos.shape[0]
     init_act = active & (ns > 0) & (err == ERR_NONE)
     state = (
         init_act,
@@ -198,6 +304,12 @@ def _parse_coefs(words, p, num):
 @partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth", "pb", "mb", "kb"))
 def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
     """Run phase 1 over a packed batch.  Returns WalkResult."""
+    # The entropy loop fetches _BLK-word-aligned blocks; zero-pad the word
+    # axis up so any caller's W works (production bucketing already rounds,
+    # so this concat is a no-op on the hot path).
+    if words.shape[1] % _BLK:
+        pad = _BLK - words.shape[1] % _BLK
+        words = jnp.concatenate([words, jnp.zeros((words.shape[0], pad), words.dtype)], axis=1)
     B = words.shape[0]
     F = frame_length
     C = num_channels
@@ -218,7 +330,7 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
         "done": jnp.zeros(B, bool),
         "err": jnp.zeros(B, I32),
         "ns": jnp.full(B, F, I32),
-        "res": jnp.zeros((B, C * F + 1), I32),
+        "res": jnp.zeros((B, C * F + _K_MICRO), I32),
         "order": zeros_c(),
         "mode": zeros_c(),
         "den": zeros_c(),
