@@ -2,10 +2,20 @@
 
 PY ?= python
 
-.PHONY: test sweep bench bench-configs profile torture native clean
+.PHONY: test lint cover sweep bench bench-configs profile torture native clean
 
-test:
+test: lint
 	$(PY) -m pytest tests/ -x -q
+
+# Static checks (stdlib-ast linter; the golangci-lint role of the
+# reference's CI, hack/common.mk:95-110).
+lint:
+	$(PY) hack/lint.py
+
+# Line coverage over the full suite with a threshold gate (sys.monitoring;
+# the coverage role of the reference's CI, hack/common.mk:372-381).
+cover:
+	$(PY) hack/cov.py --min 80
 
 # Full 56-config differential sweep of the device pipeline (slow).
 sweep:

@@ -18,7 +18,7 @@ from __future__ import annotations
 import struct
 from typing import BinaryIO
 
-from .config import PacketConfig, parse_magic_cookie
+from .config import PacketConfig
 from .errors import NoAlacTrack
 from .mp4 import SampleInfo
 

@@ -2,7 +2,6 @@
 
 import io
 
-import numpy as np
 import pytest
 
 from saprobe_alac_tpu import NoTrackError, new_decoder, parse_magic_cookie

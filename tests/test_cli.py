@@ -4,7 +4,6 @@ import io
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
@@ -80,7 +79,6 @@ def test_missing_file():
 
 def test_encode_roundtrip(tmp_path):
     """alac-encode WAV -> M4A -> alac-decode -> identical WAV payload."""
-    import struct
 
     from saprobe_alac_tpu.formats import PCMFormat
     from saprobe_alac_tpu.utils.wav import write_wav

@@ -8,7 +8,6 @@ wrapped-cookie handling and 64-bit co64 offsets.
 import io
 import struct
 
-import numpy as np
 import pytest
 
 from saprobe_alac_tpu import new_decoder, parse_magic_cookie

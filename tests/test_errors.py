@@ -8,7 +8,6 @@ the public sentinel hierarchy.
 import io
 import struct
 
-import numpy as np
 import pytest
 
 from saprobe_alac_tpu import (

@@ -8,7 +8,6 @@ Parity role: the reference decodes every legal packet at full speed in one
 implementation (decoder.go); here the host core is the speed backstop.
 """
 
-import numpy as np
 import pytest
 
 import saprobe_alac_tpu.ops.batch as batch_mod

@@ -3,7 +3,6 @@
 import io
 
 import numpy as np
-import pytest
 
 from saprobe_alac_tpu.encoder import EncoderSpec, build_m4a, encode_packets
 from saprobe_alac_tpu.caf import build_caf
