@@ -10,6 +10,7 @@
 // C ABI; bound via ctypes next to alac_core.cpp (one shared library).
 
 #include <climits>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -170,8 +171,57 @@ struct EncSpec {
   int32_t force_escape;
   int32_t auto_escape;
   int32_t use_lfe_tag;
-  int16_t coefs[32];  // initial coefficients (Python computes the fit)
+  int32_t fit;        // 1: per-channel per-packet Levinson-Durbin fit
+  int16_t coefs[32];  // fallback / caller-pinned initial coefficients
 };
+
+// Per-channel per-packet LPC fit: autocorrelation + Levinson-Durbin on the
+// post-mix channel data (what the predictor actually sees), quantized to
+// den_shift fixed point.  The decoder's model is
+//   pred[i] = top + (sum_k c_k * (x[i-1-k] - top)) >> den_shift,
+// whose 'top' offset absorbs DC exactly, so mapping the classical
+// a_k (x^[i] = sum a_k x[i-k]) directly onto c_{k-1} = a_k * 2^shift keeps
+// constant signals exact while inheriting the Levinson optimum elsewhere.
+// Returns false (caller keeps sp.coefs) on degenerate input.
+static bool fit_coefs(const int32_t* x, int32_t ns, int32_t order,
+                      int32_t den_shift, int16_t* out) {
+  if (order <= 0 || order >= 31 || ns < 4 * order + 8) return false;
+  double mean = 0.0;
+  for (int32_t i = 0; i < ns; ++i) mean += x[i];
+  mean /= ns;
+  std::vector<double> d(ns);
+  for (int32_t i = 0; i < ns; ++i) d[i] = x[i] - mean;
+  std::vector<double> R(order + 1, 0.0);
+  for (int32_t k = 0; k <= order; ++k) {
+    double s = 0.0;
+    for (int32_t i = k; i < ns; ++i) s += d[i] * d[i - k];
+    R[k] = s;
+  }
+  if (!(R[0] > 0.0)) return false;
+  R[0] *= 1.0 + 1e-9;  // tiny ridge so err stays positive
+  std::vector<double> a(order + 1, 0.0), prev(order + 1);
+  double err = R[0];
+  for (int32_t i = 1; i <= order; ++i) {
+    double acc = R[i];
+    for (int32_t j = 1; j < i; ++j) acc -= a[j] * R[i - j];
+    double k = acc / err;
+    if (!std::isfinite(k)) return false;
+    if (k > 0.999) k = 0.999;
+    if (k < -0.999) k = -0.999;
+    prev = a;
+    a[i] = k;
+    for (int32_t j = 1; j < i; ++j) a[j] = prev[j] - k * prev[i - j];
+    err *= (1.0 - k * k);
+    if (!(err > 0.0)) return false;
+  }
+  for (int32_t k = 1; k <= order; ++k) {
+    double q = std::round(a[k] * static_cast<double>(1 << den_shift));
+    if (q > 30000.0) q = 30000.0;
+    if (q < -30000.0) q = -30000.0;
+    out[k - 1] = static_cast<int16_t>(q);
+  }
+  return true;
+}
 
 struct EncConfig {
   uint32_t frame_length, bit_depth, num_channels, pb, mb, kb, max_run;
@@ -195,9 +245,9 @@ static void element_header(BitSink& w, int tag, bool partial, int bs, int esc, u
 // falls back to the verbatim element.
 static bool entropy_body(BitSink& w, const EncConfig& cfg, const EncSpec& sp,
                          const int32_t* hs, int32_t ns, uint32_t chan_bits,
-                         std::vector<int32_t>& scratch) {
+                         const int16_t* coefs, std::vector<int32_t>& scratch) {
   scratch.resize(ns);
-  lpc_forward(hs, scratch.data(), ns, sp.coefs, sp.order, chan_bits, sp.den_shift);
+  lpc_forward(hs, scratch.data(), ns, coefs, sp.order, chan_bits, sp.den_shift);
   if (sp.mode != 0) {
     // Stream carries delta'd residuals (decoder un-deltas first).
     int32_t prev = scratch[0];
@@ -295,12 +345,23 @@ static void encode_element(BitSink& dst, const EncConfig& cfg, const EncSpec& sp
   cmp.write(static_cast<uint32_t>(mix_bits), 8);
   cmp.write(static_cast<uint32_t>(mix_res) & 0xFF, 8);
 
+  // Per-channel initial coefficients: the Levinson-Durbin fit on the
+  // post-mix data each predictor will actually see, falling back to the
+  // caller's coefficients when fitting is off or the input is degenerate.
+  int16_t fitted[2][32];
+  const int16_t* coefs[2] = {sp.coefs, sp.coefs};
+  for (int c = 0; c < (pair ? 2 : 1); ++c) {
+    const int32_t* hs = (c == 0 ? h0.data() : h1.data());
+    if (sp.fit && fit_coefs(hs, ns, sp.order, sp.den_shift, fitted[c]))
+      coefs[c] = fitted[c];
+  }
+
   // Predictor headers + coefs for every channel (decoder.go:421-448)...
   for (int c = 0; c < (pair ? 2 : 1); ++c) {
     cmp.write((sp.mode << 4) | sp.den_shift, 8);
     cmp.write((sp.pb_factor << 5) | sp.order, 8);
     for (int32_t k = 0; k < sp.order; ++k)
-      cmp.write(static_cast<uint16_t>(sp.coefs[k]), 16);
+      cmp.write(static_cast<uint16_t>(coefs[c][k]), 16);
   }
   // ...then the shift region (decoder.go:453-457)...
   if (bs) {
@@ -310,9 +371,9 @@ static void encode_element(BitSink& dst, const EncConfig& cfg, const EncSpec& sp
     }
   }
   // ...then the entropy bodies.
-  bool codable = entropy_body(cmp, cfg, sp, h0.data(), ns, chan_bits, scratch);
+  bool codable = entropy_body(cmp, cfg, sp, h0.data(), ns, chan_bits, coefs[0], scratch);
   if (codable && pair)
-    codable = entropy_body(cmp, cfg, sp, h1.data(), ns, chan_bits, scratch);
+    codable = entropy_body(cmp, cfg, sp, h1.data(), ns, chan_bits, coefs[1], scratch);
 
   if (!codable || (sp.auto_escape && esc.bit_length() < cmp.bit_length()))
     append_bits(dst, esc);

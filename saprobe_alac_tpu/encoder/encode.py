@@ -552,7 +552,7 @@ def encode_packets(
         chunks = [pcm[start : start + frame] for start in range(0, total, frame)]
         return encode_packets_device(config, spec, chunks)
 
-    if backend == "auto":
+    if backend in ("auto", "native"):
         from .. import native
 
         if native.available():
@@ -560,6 +560,10 @@ def encode_packets(
                 native.encode_packet(config, spec, pcm[start : start + frame])
                 for start in range(0, total, frame)
             ]
+        if backend == "native":
+            raise RuntimeError(f"native encoder unavailable: {native.build_error()}")
+    elif backend != "python":
+        raise ValueError(f"unknown encoder backend {backend!r}")
 
     packets = []
     for start in range(0, total, frame):

@@ -77,6 +77,7 @@ class _EncSpecC(ctypes.Structure):
         ("force_escape", ctypes.c_int32),
         ("auto_escape", ctypes.c_int32),
         ("use_lfe_tag", ctypes.c_int32),
+        ("fit", ctypes.c_int32),
         ("coefs", ctypes.c_int16 * 32),
     ]
 
@@ -263,6 +264,9 @@ def encode_packet(config: PacketConfig, spec, samples: np.ndarray) -> bytes:
     from ..encoder.encode import ChannelSpec
 
     ch: ChannelSpec = spec.channel
+    # Fallback coefficients for degenerate blocks; when ch.fit is on and no
+    # explicit coefficients are pinned, the C++ core re-fits per channel per
+    # packet (Levinson-Durbin on the post-mix data) and ignores these.
     coefs = ch.initial_coefs(samples[:, 0].astype(np.int64) if ch.order not in (0, 31) else None)
     c_arr = (ctypes.c_int16 * 32)(*([int(c) for c in coefs] + [0] * (32 - len(coefs))))
     sp = _EncSpecC(
@@ -276,6 +280,7 @@ def encode_packet(config: PacketConfig, spec, samples: np.ndarray) -> bytes:
         force_escape=int(spec.escape),
         auto_escape=int(spec.auto_escape),
         use_lfe_tag=int(spec.use_lfe_tag),
+        fit=int(ch.fit and not ch.coefs),
         coefs=c_arr,
     )
     ns, channels = samples.shape
