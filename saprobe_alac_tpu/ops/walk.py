@@ -77,6 +77,9 @@ class WalkResult(NamedTuple):
 _BLK = 8
 _NWIN = 2 * _BLK
 _K_MICRO = int(os.environ.get("SAPROBE_WALK_K", "20"))
+#: Micro-loop unroll factor: graph size scales with this (not with _K_MICRO),
+#: so it trades compile time against per-micro-step loop sequencing overhead.
+_K_UNROLL = int(os.environ.get("SAPROBE_WALK_UNROLL", "1"))
 
 #: Bit budget that guarantees one full sample decode from the window.
 _WORST_SAMPLE_BITS = 66
@@ -266,12 +269,17 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
             jnp.zeros((B, _K_MICRO), I32),
         )
         act, err, count, mean, zmode, off, idx_buf, val_buf = jax.lax.fori_loop(
-            0, _K_MICRO, micro, mst
+            0, _K_MICRO, micro, mst, unroll=_K_UNROLL
         )
 
-        res = res.at[lanes, idx_buf].set(
-            val_buf, indices_are_sorted=True, unique_indices=True
-        )
+        # unique_indices holds (live steps write strictly ascending residual
+        # slots, dead micro-steps get one distinct dummy-tail column each) —
+        # but indices_are_sorted must stay OFF: although each row is
+        # ascending, XLA:TPU's sorted-scatter lowering drops updates for this
+        # per-row-sorted pattern (reproduced standalone on v5e; column values
+        # reset between rows, which the TPU path appears to treat as a hint
+        # violation).  CPU accepts either; sorted=False is correct on both.
+        res = res.at[lanes, idx_buf].set(val_buf, unique_indices=True)
         bitpos = base + off
         return act, bitpos, err, count, mean, zmode, res, iters + 1
 
