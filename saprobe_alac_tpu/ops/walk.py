@@ -80,6 +80,24 @@ _K_MICRO = int(os.environ.get("SAPROBE_WALK_K", "20"))
 #: Micro-loop unroll factor: graph size scales with this (not with _K_MICRO),
 #: so it trades compile time against per-micro-step loop sequencing overhead.
 _K_UNROLL = int(os.environ.get("SAPROBE_WALK_UNROLL", "1"))
+#: Window-fetch strategy: "onehot" masked-reduces over all packed words
+#: (O(B*W) but vectorizes perfectly), "gather" take_along_axis's the two
+#: blocks (O(B); wins when W is large, i.e. production frame lengths).
+_FETCH = os.environ.get("SAPROBE_WALK_FETCH", "onehot")
+
+#: Entropy-loop implementation: "auto" uses the Pallas dense-emission kernel
+#: (ops/walk_kernel.py) on TPU and the XLA lockstep loop elsewhere; "xla" and
+#: "pallas" force; "pallas_interpret" runs the kernel in interpreter mode
+#: (slow — for CPU differential tests of the kernel itself).
+_IMPL = os.environ.get("SAPROBE_WALK_IMPL", "auto")
+
+
+def _dense_impl() -> bool:
+    if _IMPL in ("pallas", "pallas_interpret"):
+        return True
+    if _IMPL == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 #: Bit budget that guarantees one full sample decode from the window.
 _WORST_SAMPLE_BITS = 66
@@ -138,9 +156,22 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
         # adversarial streams) is caught by the in-step overrun guard.
         bi = sshr(bitpos, 8)
         off0 = bitpos & (_BLK * 32 - 1)
-        relb = iota_blk - bi[:, None]
-        b0 = jnp.sum(jnp.where((relb == 0)[:, :, None], words_blk, 0), axis=1)
-        b1 = jnp.sum(jnp.where((relb == 1)[:, :, None], words_blk, 0), axis=1)
+        if _FETCH == "gather":
+            # One 2-block take_along_axis per iteration: O(B) memory traffic
+            # instead of the one-hot scan's O(B*W).  Out-of-range block
+            # indices are clamped for the gather and zero-masked afterwards
+            # to preserve the reference's zero-pad read semantics.
+            bi2 = jnp.stack([bi, bi + 1], axis=1)  # (B, 2)
+            inr = (bi2 >= 0) & (bi2 < nblk)
+            blocks = jnp.take_along_axis(
+                words_blk, jnp.clip(bi2, 0, nblk - 1)[:, :, None], axis=1
+            )
+            blocks = jnp.where(inr[:, :, None], blocks, 0)
+            b0, b1 = blocks[:, 0], blocks[:, 1]
+        else:
+            relb = iota_blk - bi[:, None]
+            b0 = jnp.sum(jnp.where((relb == 0)[:, :, None], words_blk, 0), axis=1)
+            b1 = jnp.sum(jnp.where((relb == 1)[:, :, None], words_blk, 0), axis=1)
         ws = [b0[:, k] for k in range(_BLK)] + [b1[:, k] for k in range(_BLK)]
         wsb = ws[1:] + [jnp.zeros_like(ws[0])]  # word j+1 lookup table
 
@@ -213,8 +244,11 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
             # Live samples write their residual slot; masked micro-steps land
             # in the per-step dummy tail (live steps precede dead steps within
             # an iteration, so indices stay sorted & unique for the scatter).
-            idx_buf = idx_buf.at[:, k_step].set(jnp.where(live, cur_chan * F + count, CF + k_step))
-            val_buf = val_buf.at[:, k_step].set(jnp.where(live, delta, 0))
+            # Staging is (K, B) so each write is a well-tiled (1, B) row
+            # (a (B, 1) column update lays out as T(1,128) on TPU: 128x the
+            # vector work; measured ~2.2us per update at B=2048).
+            idx_buf = idx_buf.at[k_step, :].set(jnp.where(live, cur_chan * F + count, CF + k_step))
+            val_buf = val_buf.at[k_step, :].set(jnp.where(live, delta, 0))
 
             count_n = jnp.where(live, count + 1, count)
             off_n = jnp.where(live, off + nbits, off)
@@ -265,8 +299,8 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
             mean,
             zmode,
             off0,
-            jnp.full((B, _K_MICRO), CF, I32),
-            jnp.zeros((B, _K_MICRO), I32),
+            jnp.full((_K_MICRO, B), CF, I32),
+            jnp.zeros((_K_MICRO, B), I32),
         )
         act, err, count, mean, zmode, off, idx_buf, val_buf = jax.lax.fori_loop(
             0, _K_MICRO, micro, mst, unroll=_K_UNROLL
@@ -279,7 +313,7 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
         # per-row-sorted pattern (reproduced standalone on v5e; column values
         # reset between rows, which the TPU path appears to treat as a hint
         # violation).  CPU accepts either; sorted=False is correct on both.
-        res = res.at[lanes, idx_buf].set(val_buf, unique_indices=True)
+        res = res.at[lanes, idx_buf.T].set(val_buf.T, unique_indices=True)
         bitpos = base + off
         return act, bitpos, err, count, mean, zmode, res, iters + 1
 
@@ -296,6 +330,50 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
     )
     act, bitpos, err, count, mean, zmode, res, _ = jax.lax.while_loop(cond, body, state)
     err = jnp.where(act, ERR_OVERRUN, err)  # guard-tripped lanes
+    return bitpos, err, res
+
+
+def _entropy_dense(words_t, B, size_bits, bitpos, err, res, active, cur_chan, pb_local, max_size, ns, cfg):
+    """Dense-emission Pallas path: one kernel call decodes the whole channel
+    for every active lane (ops/walk_kernel.py), then C static selects merge
+    the dense rows into the per-channel residual planes (no scatter)."""
+    from .walk_kernel import dense_entropy_pallas
+
+    F = cfg["frame_length"]
+    C = cfg["num_channels"]
+    B_pad = words_t.shape[1]
+    LB = cfg["lane_block"]
+
+    act = active & (err == ERR_NONE)
+
+    def pad(x, fill=0):
+        if B_pad == B:
+            return x
+        return jnp.concatenate([x, jnp.full((B_pad - B,), fill, x.dtype)])
+
+    rows, bp2, kerr = dense_entropy_pallas(
+        words_t,
+        pad(bitpos),
+        pad(act.astype(I32)),
+        pad(pb_local),
+        pad(jnp.broadcast_to(jnp.asarray(max_size, I32), (B,))),
+        pad(ns),
+        pad(size_bits),
+        pad(jnp.full((B,), cfg["mb"], I32)),
+        kb=cfg["kb"],
+        F=F,
+        LB=LB,
+        interpret=_IMPL == "pallas_interpret",
+    )
+    rows_b = rows[:F, :B].T  # (B, F)
+    kerr = kerr[:B]
+    bitpos = jnp.where(act, bp2[:B], bitpos)
+    err = jnp.where(act & (kerr != ERR_NONE), kerr, err)
+    for c in range(C):
+        seg = res[:, c * F : (c + 1) * F]
+        res = res.at[:, c * F : (c + 1) * F].set(
+            jnp.where((act & (cur_chan == c))[:, None], rows_b, seg)
+        )
     return bitpos, err, res
 
 
@@ -322,6 +400,21 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
     F = frame_length
     C = num_channels
     cfg = {"frame_length": F, "kb": kb, "mb": mb}
+
+    dense = _dense_impl()
+    words_t = None
+    if dense:
+        # One transpose per batch for the kernel's word-major layout, lanes
+        # padded to a whole lane block.
+        LB = 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+        B_pad = ((B + LB - 1) // LB) * LB
+        wt = words.T
+        if B_pad != B:
+            wt = jnp.concatenate(
+                [wt, jnp.zeros((wt.shape[0], B_pad - B), wt.dtype)], axis=1
+            )
+        words_t = wt
+        cfg = dict(cfg, num_channels=C, lane_block=LB)
     offsets_table = jnp.asarray(
         np.array(CHANNEL_LAYOUT_OFFSETS[C - 1], dtype=np.int32)
     )
@@ -529,17 +622,33 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
 
         res = st["res"]
 
-        def run_u(args):
-            bp, er, rs = args
-            return _entropy_channel(
-                words, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
-            )
+        if dense:
 
-        def run_v(args):
-            bp, er, rs = args
-            return _entropy_channel(
-                words, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
-            )
+            def run_u(args):
+                bp, er, rs = args
+                return _entropy_dense(
+                    words_t, B, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
+                )
+
+            def run_v(args):
+                bp, er, rs = args
+                return _entropy_dense(
+                    words_t, B, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
+                )
+
+        else:
+
+            def run_u(args):
+                bp, er, rs = args
+                return _entropy_channel(
+                    words, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
+                )
+
+            def run_v(args):
+                bp, er, rs = args
+                return _entropy_channel(
+                    words, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
+                )
 
         new_bitpos, err, res = jax.lax.cond(
             jnp.any(ent_u), run_u, lambda a: a, (new_bitpos, err, res)

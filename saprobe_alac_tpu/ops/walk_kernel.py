@@ -1,0 +1,427 @@
+"""Pallas TPU kernel: dense-emission adaptive Golomb-Rice entropy decode.
+
+The XLA lane-parallel walk (ops/walk.py) hits a hard per-sample overhead
+floor on real TPUs: ~7 kernel fusions per decoded sample (~15us per
+micro-step at B=2048) plus a residual scatter whose per-update cost (~6ns)
+makes positioned writes the bottleneck.  Hardware reality: the VPU has no
+per-lane scatter/gather, so any "write residual at per-lane position
+count[lane]" formulation pays for it.
+
+This kernel removes both problems with a *dense emission schedule*: output
+row t is produced by every lane at step t — a lane either decodes its next
+codeword, drains one zero from a pending zero-run (zero-runs cost no bits),
+or emits a dummy zero when done.  Staging row t therefore IS residual row t:
+no positioning, no scatter — rows stream to HBM at uniform offsets.  The
+price is worst-case window budgeting (a decoding row consumes at most 66
+bits: escape codeword 9+32 plus zero-run code 9+16), giving K = 11
+guaranteed rows per 1024-bit register window.
+
+Window fetch is the other TPU-hostile part (per-lane word positions).  It
+runs as a two-level one-hot (masked-sum) pipeline, entirely in VMEM:
+  L1  per-lane superblock pair (2 x 32 blocks = 16 KiB of stream) rebuilt
+      from the full word buffer only when some lane's cursor leaves it
+      (every ~20 refills),
+  L2  the 4-block (1024-bit) window selected from the 64-row L1 scratch
+      every refill.
+Bit extraction from the 32 window registers uses 5-level binary select
+trees — pure vector ALU, measured ~50ns per decoded row per 1024 lanes
+on v5e (see docs/PERFORMANCE.md).
+
+Behavioral parity: golomb.go:112-253 (adaptive Golomb, escape, zero-run
+semantics, uint32-wrap mean), bitbuffer.go:28-32 (zero-pad reads past the
+packet end).  Bit-for-bit equivalence with codec/golomb.py is enforced by
+tests/test_walk_kernel.py against the scalar oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .walk import ERR_NONE, ERR_OVERRUN, ERR_SAMPLES  # shared error codes
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+#: Window geometry: 4 blocks of 8 words, 256-bit aligned -> off0 <= 255.
+_BLK = 8
+_WIN_BLOCKS = 4
+_NWIN = _WIN_BLOCKS * _BLK  # 32 words = 1024 bits
+#: Worst-case bits consumed by one decoding row (escape 9+32, zero-run 9+16).
+_WORST = 66
+#: Guaranteed decodable rows per window: off0 + K*_WORST <= _NWIN*32 allows
+#: K = 11, but DMA slices must be aligned to the 8-sublane tile, so K = 8
+#: (255 + 8*66 = 783 <= 1024 bits leaves slack to spare).
+_K_ROWS = 8
+#: L1 scratch: per-lane superblock pair (2 x 32 blocks).
+_SB_BLOCKS = 32
+_L1_BLOCKS = 2 * _SB_BLOCKS  # 64 block rows
+
+
+def _u(x):
+    return jax.lax.bitcast_convert_type(x.astype(I32), U32)
+
+
+def _s(x):
+    return jax.lax.bitcast_convert_type(x.astype(U32), I32)
+
+
+def _clz(x):
+    return jax.lax.clz(_u(x)).astype(I32)
+
+
+def _shl(x, n):
+    if isinstance(n, int):
+        return _s(jax.lax.shift_left(_u(x), U32(n))) if n < 32 else jnp.zeros_like(x)
+    nc = jnp.minimum(n, 31)
+    return jnp.where(n >= 32, 0, _s(jax.lax.shift_left(_u(x), _u(nc))))
+
+
+def _ushr(x, n):
+    if isinstance(n, int):
+        return _s(jax.lax.shift_right_logical(_u(x), U32(n))) if n < 32 else jnp.zeros_like(x)
+    nc = jnp.minimum(n, 31)
+    return jnp.where(n >= 32, 0, _s(jax.lax.shift_right_logical(_u(x), _u(nc))))
+
+
+def _sshr(x, n):
+    if isinstance(n, int):
+        return jax.lax.shift_right_arithmetic(x.astype(I32), I32(min(n, 31)))
+    return jax.lax.shift_right_arithmetic(
+        x.astype(I32), jnp.where(n >= 32, 31, jnp.minimum(n, 31))
+    )
+
+
+def _lg3a(x):
+    return 31 - _clz(x + 3)
+
+
+def _wsel(regs, j):
+    """regs[j] per lane for a power-of-two list of vector registers."""
+    level = list(regs)
+    bit = 1
+    while len(level) > 1:
+        level = [
+            jnp.where((j & bit) != 0, level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+        bit <<= 1
+    return level[0]
+
+
+def _dense_kernel(
+    words_ref,  # (W_pad, LB) int32 VMEM: word-major packed stream, lanes minor
+    bitpos_ref,  # (SL, 128)
+    act_ref,  # (SL, 128) int32 mask
+    pb_ref,  # (SL, 128)
+    maxsz_ref,  # (SL, 128)
+    ns_ref,  # (SL, 128)
+    sizebits_ref,  # (SL, 128)
+    mb_ref,  # (SL, 128)
+    rows_ref,  # (F_pad, LB) OUTPUT in HBM (ANY): dense residual rows
+    bitpos_out,  # (SL, 128)
+    err_out,  # (SL, 128)
+    l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
+    stage_ref,  # VMEM scratch (_K_ROWS, LB): row staging for one refill
+    dma_sem,  # DMA semaphore
+    *,
+    kb: int,
+    F: int,
+    W_pad: int,
+    LB: int,
+):
+    SL = LB // 128
+    NB = W_pad // _BLK  # block rows in the stream
+    lane0 = pl.multiple_of(pl.program_id(0) * LB, LB)
+    wb_mask = (1 << kb) - 1 if kb < 32 else -1
+
+    def vec(x):
+        return x.reshape(SL, 128)
+
+    bitpos = vec(bitpos_ref[...])
+    act0 = vec(act_ref[...])
+    pbl = vec(pb_ref[...])
+    max_size = vec(maxsz_ref[...])
+    ns = vec(ns_ref[...])
+    size_bits = vec(sizebits_ref[...])
+    mb0 = vec(mb_ref[...])
+
+    # Inactive lanes keep bitpos; guard against negative cursors up front.
+    act = act0 * (ns > 0).astype(I32)
+
+    NR = pl.cdiv(F, _K_ROWS)  # refills
+
+    # ---- initial L1 fill + loop state ----
+    bi0 = _sshr(bitpos, 8)  # window block index
+    sb0 = _sshr(bi0, 5)  # superblock (32-block) index
+
+    def l1_fill(sb):
+        """Rebuild the per-lane superblock pair: l1[slot] = block sb*32+slot,
+        l1[32+slot] = block (sb+1)*32+slot.  The slot index rb mod 32 is
+        lane-invariant, so each source row has a lane-uniform destination;
+        per-lane selection happens in the masks.  Exactly one source row
+        matches each (slot, lane), so select-accumulate over a zeroed scratch
+        reconstructs the pair; blocks past the stream end stay zero
+        (bitbuffer.go:28-32 zero-pad semantics)."""
+        l1_ref[...] = jnp.zeros((_L1_BLOCKS * _BLK, LB), I32)
+        sb1 = sb + 1
+
+        def row(rb, _):
+            slot = rb % _SB_BLOCKS
+            blk = words_ref[pl.ds(rb * _BLK, _BLK), :]  # (8, LB)
+            rb_sb = rb // _SB_BLOCKS
+            m0 = (sb == rb_sb).astype(I32).reshape(1, SL, 128)
+            m1 = (sb1 == rb_sb).astype(I32).reshape(1, SL, 128)
+            b3 = blk.reshape(_BLK, SL, 128)
+            acc0 = l1_ref[pl.ds(slot * _BLK, _BLK), :].reshape(_BLK, SL, 128)
+            acc1 = l1_ref[pl.ds((_SB_BLOCKS + slot) * _BLK, _BLK), :].reshape(_BLK, SL, 128)
+            l1_ref[pl.ds(slot * _BLK, _BLK), :] = jnp.where(m0 == 1, b3, acc0).reshape(_BLK, LB)
+            l1_ref[pl.ds((_SB_BLOCKS + slot) * _BLK, _BLK), :] = jnp.where(
+                m1 == 1, b3, acc1
+            ).reshape(_BLK, LB)
+            return 0
+
+        jax.lax.fori_loop(0, NB, row, 0)
+
+    l1_fill(sb0)
+
+    def refill_window(bi, sb):
+        """Select the 4 window blocks bi..bi+3 from the 64-row L1 scratch.
+        Out-of-range rows contribute zero (reference zero-pad semantics)."""
+        nbi = bi - sb * _SB_BLOCKS  # in [0, 61] by the refresh invariant
+        accs = [jnp.zeros((_BLK, SL, 128), I32) for _ in range(_WIN_BLOCKS)]
+
+        def row(nb, accs):
+            blk = l1_ref[pl.ds(nb * _BLK, _BLK), :].reshape(_BLK, SL, 128)
+            rel = nb - nbi  # per-lane
+            out = []
+            for t in range(_WIN_BLOCKS):
+                m = (rel == t).astype(I32).reshape(1, SL, 128)
+                out.append(jnp.where(m == 1, blk, accs[t]))
+            return tuple(out)
+
+        accs = jax.lax.fori_loop(0, _L1_BLOCKS, row, tuple(accs))
+        regs = []
+        for t in range(_WIN_BLOCKS):
+            for w in range(_BLK):
+                regs.append(accs[t][w])
+        return regs  # 32 x (SL, 128)
+
+    # ---- main loop over refills ----
+    def refill_body(r, st):
+        act, bitpos, err, count, mean, zmode, zrem, sb = st
+
+        # L1 refresh when some active lane's window leaves the scratch
+        # (lockstep: one refresh serves every lane, each selecting its own
+        # superblock pair).
+        bi = _sshr(bitpos, 8)
+        need = jnp.any((act == 1) & (bi - sb * _SB_BLOCKS > _L1_BLOCKS - 1 - _WIN_BLOCKS))
+        sb = jnp.where(need, _sshr(bi, 5), sb)
+
+        @pl.when(need)
+        def _():
+            l1_fill(sb)
+
+        ws = refill_window(bi, sb)
+        wsb = ws[1:] + [jnp.zeros_like(ws[0])]
+
+        def win32(off):
+            j = _sshr(off, 5)
+            rbits = off & 31
+            a = _u(_wsel(ws, j))
+            b = _u(_wsel(wsb, j))
+            return _s(
+                jax.lax.shift_left(a, _u(rbits))
+                | jax.lax.shift_right_logical(
+                    jax.lax.shift_right_logical(b, U32(1)), _u(31 - rbits)
+                )
+            )
+
+        base = _shl(bi, 8)
+        off0 = bitpos & 255
+
+        def row_body(k, rst):
+            act, off, err, count, mean, zmode, zrem = rst
+
+            dec = act * (zrem == 0).astype(I32)
+            zdrain = act * (zrem > 0).astype(I32)
+
+            # Overrun guard (golomb.go:168-170); negative = Go uint32 wrap.
+            curpos = base + off
+            over = (dec == 1) & ((curpos >= size_bits) | (curpos < 0))
+            err = jnp.where(over, ERR_OVERRUN, err)
+            act = act * (1 - over.astype(I32))
+            dec = dec * (1 - over.astype(I32))
+
+            m0 = _s(jax.lax.shift_right_logical(_u(mean), U32(9)))
+            k32p = jnp.minimum(_lg3a(m0), kb)
+            m = _shl(jnp.ones_like(k32p), k32p) - 1
+
+            win = win32(off)
+            pre = _clz(~win)
+
+            is_esc = pre >= 9
+            val_esc = _ushr(win32(off + 9), 32 - jnp.maximum(max_size, 1))
+            bits_esc = 9 + max_size
+
+            win2 = _shl(win, pre + 1)
+            v = _ushr(win2, 32 - k32p)
+            vbig = v >= 2
+            val_n = jnp.where(k32p != 1, jnp.where(vbig, pre * m + v - 1, pre * m), pre)
+            bits_n = pre + 1 + jnp.where(k32p != 1, jnp.where(vbig, k32p, k32p - 1), 0)
+
+            value = jnp.where(is_esc, val_esc, val_n)
+            nbits = jnp.where(is_esc, bits_esc, bits_n)
+
+            # Signed mapping (golomb.go:206-212), wrapping 32-bit.
+            nd = value + zmode
+            mult = 1 - 2 * (nd & 1)
+            delta = _s(jax.lax.shift_right_logical(_u(nd + 1), U32(1))) * mult
+
+            # Dense emission: decoded delta, drained zero, or dummy zero.
+            stage_ref[k, :] = jnp.where(dec == 1, delta, 0).reshape(LB)
+
+            count = count + ((dec == 1) | (zdrain == 1)).astype(I32)
+            off = jnp.where(dec == 1, off + nbits, off)
+            zrem = jnp.where(zdrain == 1, zrem - 1, zrem)
+
+            # Adaptive mean (golomb.go:215-218): uint32 wrap arithmetic.
+            pblu = _u(pbl)
+            mean_n = _s(
+                pblu * _u(nd)
+                + _u(mean)
+                - jax.lax.shift_right_logical(pblu * _u(mean), U32(9))
+            )
+            mean_n = jnp.where(_u(value) > 0xFFFF, 0xFFFF, mean_n)
+            mean = jnp.where(dec == 1, mean_n, mean)
+            zmode = jnp.where(dec == 1, 0, zmode)
+
+            # Zero-run trigger (golomb.go:223-246); (mean<<2) < 512 unsigned.
+            zc = (dec == 1) & (_u(_shl(mean, 2)) < 512) & (count < ns)
+            k32 = jnp.maximum(
+                _clz(mean) - 24 + _s(jax.lax.shift_right_logical(_u(mean + 16), U32(6))), 0
+            )
+            mz = (_shl(jnp.ones_like(k32), k32) - 1) & wb_mask
+
+            zwin = win32(off)
+            zpre = _clz(~zwin)
+            z_esc = zpre >= 9
+            zval_esc = _ushr(_shl(zwin, 9), 16)
+            zwin2 = _shl(zwin, zpre + 1)
+            zv = _ushr(zwin2, 32 - jnp.maximum(k32, 1))
+            zv = jnp.where(k32 == 0, 0, zv)
+            zvbig = zv >= 2
+            zrun = jnp.where(z_esc, zval_esc, jnp.where(zvbig, zpre * mz + zv - 1, zpre * mz))
+            zbits = jnp.where(z_esc, 25, zpre + 1 + jnp.where(zvbig, k32, k32 - 1))
+
+            zover = zc & (count + zrun > ns)
+            err = jnp.where(zover, ERR_SAMPLES, err)
+            act = act * (1 - zover.astype(I32))
+            zc = zc & ~zover
+
+            zrem = jnp.where(zc, zrun, zrem)
+            off = jnp.where(zc, off + zbits, off)
+            zmode = jnp.where(zc, jnp.where(zrun >= 65535, 0, 1), zmode)
+            mean = jnp.where(zc, 0, mean)
+
+            act = act * (count < ns).astype(I32) * (err == ERR_NONE).astype(I32)
+            return act, off, err, count, mean, zmode, zrem
+
+        rst = (act, off0, err, count, mean, zmode, zrem)
+        act, off, err, count, mean, zmode, zrem = jax.lax.fori_loop(
+            0, _K_ROWS, row_body, rst
+        )
+        bitpos = jnp.where(act0 == 1, base + off, bitpos)
+
+        # Stream the staged rows to HBM at the uniform row offset (rows_ref
+        # is the FULL (F_pad, B) array in HBM: ANY-space blocks cannot be
+        # lane-partitioned, so the kernel addresses its lane range itself).
+        dma = pltpu.make_async_copy(
+            stage_ref, rows_ref.at[pl.ds(r * _K_ROWS, _K_ROWS), pl.ds(lane0, LB)], dma_sem
+        )
+        dma.start()
+        dma.wait()
+
+        return act, bitpos, err, count, mean, zmode, zrem, sb
+
+    z = jnp.zeros((SL, 128), I32)
+    st = (act, bitpos, jnp.zeros((SL, 128), I32), z, mb0, z, z, sb0)
+    act, bitpos, err, count, mean, zmode, zrem, sb = jax.lax.fori_loop(
+        0, NR, refill_body, st
+    )
+
+    # Lanes still active after NR refills decoded every row; lanes that died
+    # with an error keep their code.  (The XLA walk's divergence guard is not
+    # needed: the refill count is statically F/K.)
+    bitpos_out[...] = bitpos.reshape(bitpos_ref.shape)
+    err_out[...] = err.reshape(bitpos_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "F", "LB", "interpret"))
+def dense_entropy_pallas(
+    words_t, bitpos, act, pb_local, max_size, ns, size_bits, mb, *, kb, F, LB=512, interpret=False
+):
+    """Run the dense-emission kernel over a lane-blocked grid.
+
+    words_t: (W_pad, B) word-major packed streams (transposed once per batch).
+    Returns (rows (F_pad, B) int32, bitpos', err).  Rows t >= ns(lane) are 0.
+    """
+    W_pad, B = words_t.shape
+    assert B % LB == 0, (B, LB)
+    SL = LB // 128
+    F_pad = ((F + _K_ROWS - 1) // _K_ROWS) * _K_ROWS
+    nblocks = B // LB
+
+    kern = functools.partial(_dense_kernel, kb=kb, F=F, W_pad=W_pad, LB=LB)
+
+    # Lane-vector blocks: 3-D (nblocks, SL, 128) with the grid on dim 0 so
+    # the trailing dims equal the array dims (Mosaic's block constraint).
+    lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def lanes(x):
+        return x.reshape(nblocks, SL, 128)
+
+    rows, bitpos2, err = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((W_pad, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            lane_spec,
+            lane_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((F_pad, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
+            pltpu.VMEM((_K_ROWS, LB), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        words_t,
+        lanes(bitpos),
+        lanes(act.astype(jnp.int32)),
+        lanes(pb_local),
+        lanes(max_size),
+        lanes(ns),
+        lanes(size_bits),
+        lanes(mb),
+    )
+    return rows, bitpos2.reshape(B), err.reshape(B)

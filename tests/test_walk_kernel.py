@@ -1,0 +1,87 @@
+"""Differential tests for the Pallas dense-emission entropy kernel.
+
+Runs the kernel in interpreter mode on CPU (SAPROBE_WALK_IMPL=pallas_interpret)
+against the scalar oracle, covering the regimes that stress its schedule:
+zero-runs (dense zero draining), escapes (worst-case window budget), partial
+frames, multichannel layouts, and corrupt-packet error lanes.  Real-hardware
+bit-exactness is additionally gated by bench.py's correctness check.
+
+Parity: golomb.go:112-253, bitbuffer.go:28-32.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import make_config, music_pcm
+
+from saprobe_alac_tpu.codec import decode_packet as oracle
+from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
+
+
+@pytest.fixture(scope="module")
+def dense_interpret(monkeypatch_module=None):
+    """Force the dense kernel (interpreter mode) for this module."""
+    import saprobe_alac_tpu.ops.walk as walk
+
+    old = walk._IMPL
+    walk._IMPL = "pallas_interpret"
+    yield
+    walk._IMPL = old
+
+
+def _roundtrip(cfg, pcm, corrupt=None):
+    from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    if corrupt is not None:
+        pkts = list(pkts)
+        pkts[corrupt] = pkts[corrupt][: max(2, len(pkts[corrupt]) // 3)]
+    dec = JaxBatchDecoder(cfg)
+    got = dec.decode_packets(pkts)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    assert got == want
+
+
+def test_dense_music(dense_interpret):
+    _roundtrip(make_config(frame_length=128), music_pcm(128 * 8 - 5, 2, 16, seed=3))
+
+
+def test_dense_zero_runs(dense_interpret):
+    pcm = np.zeros((128 * 4, 2), np.int64)
+    pcm[37, 0] = 9
+    pcm[300, 1] = -5
+    _roundtrip(make_config(frame_length=128), pcm)
+
+
+def test_dense_noise_escape(dense_interpret):
+    rng = np.random.default_rng(1)
+    pcm = rng.integers(-30000, 30000, (128 * 3, 2)).astype(np.int64)
+    _roundtrip(make_config(frame_length=128), pcm)
+
+
+@pytest.mark.parametrize(
+    "depth,channels",
+    [(24, 2), (16, 1), (16, 6)],
+    ids=["24bit", "mono", "5.1"],
+)
+def test_dense_config_matrix(dense_interpret, depth, channels):
+    F = 64 if channels > 2 else 128
+    cfg = make_config(depth=depth, channels=channels, frame_length=F)
+    _roundtrip(cfg, music_pcm(F * 2, channels, depth, seed=depth + channels))
+
+
+def test_dense_partial_final_packet(dense_interpret):
+    _roundtrip(make_config(frame_length=128), music_pcm(128 * 2 + 31, 2, 16, seed=7))
+
+
+def test_dense_quiet_mixed_runs(dense_interpret):
+    pcm = (music_pcm(128 * 4, 2, 16, seed=8) * 0.002).astype(np.int64)
+    _roundtrip(make_config(frame_length=128), pcm)
+
+
+def test_dense_corrupt_packet_errors(dense_interpret):
+    from saprobe_alac_tpu.errors import DecodeError
+
+    cfg = make_config(frame_length=128)
+    with pytest.raises((DecodeError, EOFError, IndexError)):
+        _roundtrip(cfg, music_pcm(128 * 4, 2, 16, seed=9), corrupt=2)
