@@ -19,12 +19,26 @@ Special modes handled vectorially outside the loop:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from .jaxint import I32, s, sext, sext16, sshr, u
+
+#: FIR-scan implementation: "auto" uses the transposed Pallas kernel
+#: (ops/lpc_kernel.py) on TPU and the XLA fori elsewhere; "xla"/"pallas"
+#: force; "pallas_interpret" for CPU differential tests of the kernel.
+_IMPL = os.environ.get("SAPROBE_LPC_IMPL", "auto")
+
+
+def _kernel_impl() -> bool:
+    if _IMPL in ("pallas", "pallas_interpret"):
+        return True
+    if _IMPL == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 #: Orders whose reference kernels keep int32 (non-wrapping) coef accumulation
 #: (predictor.go:99-618); all other orders wrap coefs to int16 per step.
@@ -83,6 +97,37 @@ def lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length):
     wrap16 = jnp.ones(L, dtype=bool)
     for o in _INT32_ORDERS:
         wrap16 = wrap16 & (order != o)
+
+    if _kernel_impl():
+        from .lpc_kernel import lpc_fir_pallas
+
+        F_pad = ((F + 7) // 8) * 8
+        LB = 512 if L % 512 == 0 else (256 if L % 256 == 0 else 128)
+        L_pad = ((L + LB - 1) // LB) * LB
+
+        def padL(x, fill=0):
+            if L_pad == L:
+                return x
+            pad_shape = (L_pad - L,) + x.shape[1:]
+            return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)])
+
+        res_t = jnp.zeros((F_pad, L_pad), I32)
+        res_t = jax.lax.dynamic_update_slice(res_t, padL(res).T, (0, 0))
+        out_t = lpc_fir_pallas(
+            res_t,
+            padL(is_fir),
+            padL(order),
+            padL(den),
+            padL(jnp.maximum(cb, 1)),
+            padL(ns),
+            padL(wrap16),
+            padL(coefs).T,
+            F=F_pad,
+            LB=LB,
+            interpret=_IMPL == "pallas_interpret",
+        )
+        fir_out = out_t[:F, :L].T
+        return jnp.where(is_fir[:, None], fir_out, out0)
 
     tap_idx = jnp.arange(32, dtype=I32)[None, :]  # k
     weight = order[:, None] - tap_idx  # adaptation weight for tap k

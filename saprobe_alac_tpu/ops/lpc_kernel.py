@@ -1,0 +1,286 @@
+"""Pallas TPU kernel: adaptive LPC reconstruction, transposed layout.
+
+The XLA scan (ops/lpc.py) pays the per-iteration fusion overhead F times
+(~236ms for L=4096 lanes at F=4096 on v5e); the earlier lanes-major Pallas
+attempt (ops/lpc_pallas.py) reads/writes one *column* per sample — a
+(L, 1) access that Mosaic cannot lower efficiently (and in fact fails to
+lower at all on current toolchains).
+
+This kernel works in the walk kernel's transposed layout: samples are rows,
+lanes are the minor dimension, so the per-sample residual read and output
+write are contiguous (1, LB) rows.  The 32-deep output history and the
+adapting coefficient vector live as 32 + 32 loop-carried vector registers —
+the history "shift" is pure SSA renaming, costing nothing.  Per sample the
+kernel does ~300 vector ops on (SL, 128) registers; output rows stage into
+an 8-row VMEM buffer and DMA to HBM at tile-aligned offsets.
+
+Math is identical to ops/lpc.py (predicated sign-walk via exclusive suffix
+sums, Go fixed-width semantics — predictor.go:99-682); non-FIR lanes
+(order 0/31, escape) bypass in the XLA wrapper exactly as in lpc_batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+_CHUNK = 8  # output rows per DMA (8-sublane tile alignment)
+_TAPS = 32
+
+
+def _u(x):
+    return jax.lax.bitcast_convert_type(x.astype(I32), U32)
+
+
+def _s(x):
+    return jax.lax.bitcast_convert_type(x.astype(U32), I32)
+
+
+def _shl_v(x, n):
+    if isinstance(n, int):  # Mosaic bitcast needs vectors; keep statics static
+        return _s(jax.lax.shift_left(_u(x), U32(n))) if n < 32 else jnp.zeros_like(x)
+    nc = jnp.minimum(n, 31)
+    return jnp.where(n >= 32, 0, _s(jax.lax.shift_left(_u(x), _u(nc))))
+
+
+def _sshr_v(x, n):
+    if isinstance(n, int):
+        return jax.lax.shift_right_arithmetic(x.astype(I32), I32(min(n, 31)))
+    return jax.lax.shift_right_arithmetic(
+        x.astype(I32), jnp.where(n >= 32, 31, jnp.minimum(n, 31))
+    )
+
+
+def _sext_v(x, bits):
+    cs = 32 - bits  # bits in [1, 32] -> cs in [0, 31]
+    return _sshr_v(_shl_v(x, cs), cs)
+
+
+def _sext16(x):
+    return _sshr_v(_shl_v(x, 16), 16)
+
+
+def _sign(x):
+    # jnp.sign on int32 trips Mosaic ("unsupported target bitwidth for
+    # truncation"); compare-selects lower cleanly.
+    return jnp.where(x > 0, 1, jnp.where(x < 0, -1, 0)).astype(I32)
+
+
+def _wsel(regs, j):
+    level = list(regs)
+    bit = 1
+    while len(level) > 1:
+        level = [
+            jnp.where((j & bit) != 0, level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+        bit <<= 1
+    return level[0]
+
+
+def _lpc_kernel(
+    res_ref,  # (F_pad, L) HBM (ANY): residual rows (post mode pre-pass)
+    fir_ref,  # (1, SL, 128) is_fir mask
+    order_ref,
+    den_ref,
+    cb_ref,
+    ns_ref,
+    wrap_ref,
+    coefs_ref,  # (_TAPS, LB): transposed per-lane coefficients
+    out_ref,  # (F_pad, L) OUTPUT in HBM (ANY)
+    res_stage,  # VMEM (CHUNK, LB): input chunk staging
+    stage_ref,  # VMEM (CHUNK, LB): output chunk staging
+    in_sem,
+    dma_sem,
+    *,
+    F: int,
+    LB: int,
+    interpret: bool,
+):
+    SL = LB // 128
+    lane0 = pl.multiple_of(pl.program_id(0) * LB, LB)
+
+    def vec(x):
+        return x.reshape(SL, 128)
+
+    is_fir = vec(fir_ref[...]).astype(I32)
+    order = vec(order_ref[...])
+    den = vec(den_ref[...])
+    cb = vec(cb_ref[...])
+    ns = vec(ns_ref[...])
+    wrap16 = vec(wrap_ref[...])
+
+    one = jnp.ones((SL, 128), I32)
+    den_half = jnp.where(den > 0, _shl_v(one, jnp.maximum(den - 1, 0)), 0)
+
+    # Whole-chunk reads keep a leading dimension on every reshape —
+    # (rows, LB) -> (rows, SL, 128) is a minor-dim split Mosaic lowers
+    # cleanly, whereas a (1, LB) -> (SL, 128) row reshape is an invalid
+    # relayout.  Rows within a chunk unroll statically.
+    coefs0 = coefs_ref[...].reshape(_TAPS, SL, 128)
+    # Per-tap static masks/weights: tap k active iff k < order.
+    tmask = [(order > k).astype(I32) for k in range(_TAPS)]
+    weight = [order - k for k in range(_TAPS)]
+
+    # History and coefficients are carried as single (32, SL, 128) arrays —
+    # Mosaic fails layout unification ("invalid relayout ... replicated in
+    # destination") when 32 separate registers rotate through a fori carry,
+    # but a stacked array carry lowers cleanly; rows unpack statically.
+    hist0 = jnp.zeros((_TAPS, SL, 128), I32)
+
+    NCH = F // _CHUNK  # F is a multiple of _CHUNK (F_pad)
+
+    def row_step(t, delta, hist_arr, coefs_arr):
+        """One sample: returns (out_row, hist', coefs').  Shared by the
+        unrolled TPU driver and the fori interpret driver below."""
+        hist = [hist_arr[k] for k in range(_TAPS)]
+        coefs = [coefs_arr[k] for k in range(_TAPS)]
+        # Scalar-vs-vector compares make Mosaic materialize scalar i1
+        # broadcasts ("unsupported target bitwidth for truncation"); keep the
+        # sample index as a vector.
+        tv = jnp.zeros((SL, 128), I32) + t
+        active = (is_fir == 1) & (tv < ns) & (tv >= 1)
+
+        top = _wsel(hist, order)
+
+        # Prediction (predictor.go:647-656): wrapping int32 dot.
+        acc = jnp.zeros((SL, 128), I32)
+        for k in range(_TAPS):
+            acc = acc + coefs[k] * (hist[k] - top) * tmask[k]
+        sum1 = _sshr_v(acc + den_half, den)
+
+        warm = tv <= order
+        fir_val = _sext_v(delta + top + sum1, cb)
+        warm_val = _sext_v(delta + hist[0], cb)
+        val = jnp.where(warm, warm_val, fir_val)
+        out_row = jnp.where(active, val, delta)
+
+        # Coefficient adaptation (predictor.go:660-682), predicated walk.
+        sign = _sign(delta)
+        adapt_base = active & (sign != 0) & ~warm
+        contribs = []
+        sgns = []
+        for k in range(_TAPS):
+            dd = top - hist[k]
+            sg = _sign(dd) * sign
+            contribs.append(weight[k] * _sshr_v(sg * dd, den) * tmask[k])
+            sgns.append(sg)
+        # Exclusive suffix sums over taps (walk order k = order-1 .. 0).
+        T = jnp.zeros((SL, 128), I32)
+        Ts = [None] * _TAPS
+        for k in range(_TAPS - 1, -1, -1):
+            Ts[k] = T
+            T = T + contribs[k]
+        newcoefs = []
+        for k in range(_TAPS):
+            del0 = delta - Ts[k]
+            # select between int32 masks, not i1 vectors (Mosaic truncation)
+            run = jnp.where(sign > 0, (del0 > 0).astype(I32), (del0 < 0).astype(I32))
+            adapt = adapt_base & (run == 1) & (tmask[k] == 1)
+            newc = coefs[k] - sgns[k]
+            newc = jnp.where(wrap16 == 1, _sext16(newc), newc)
+            newcoefs.append(jnp.where(adapt, newc, coefs[k]))
+
+        hist_arr = jnp.concatenate([out_row[None], hist_arr[: _TAPS - 1]], axis=0)
+        return out_row, hist_arr, jnp.stack(newcoefs)
+
+    def chunk_body(ci, st):
+        hist, coefs = st
+        # Residuals live in HBM (a VMEM-blocked input would double-buffer
+        # F_pad*LB*4 bytes and overflow VMEM); DMA one chunk at a time.
+        dma_in = pltpu.make_async_copy(
+            res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pl.ds(lane0, LB)], res_stage, in_sem
+        )
+        dma_in.start()
+        dma_in.wait()
+        chunk = res_stage[...].reshape(_CHUNK, SL, 128)
+
+        if not interpret:
+            # Static unroll: chunk[rk] indexes with a Python int, keeping a
+            # leading dim on every reshape (Mosaic relayout constraint).
+            outs = []
+            for rk in range(_CHUNK):
+                out_row, hist, coefs = row_step(ci * _CHUNK + rk, chunk[rk], hist, coefs)
+                outs.append(out_row)
+            stage_ref[...] = jnp.stack(outs).reshape(_CHUNK, LB)
+        else:
+            # Interpreter driver: a fori keeps the emulated graph small.
+            def rbody(rk, st):
+                hist, coefs = st
+                delta = jax.lax.dynamic_index_in_dim(chunk, rk, 0, keepdims=False)
+                out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
+                stage_ref[rk, :] = out_row.reshape(LB)
+                return hist, coefs
+
+            hist, coefs = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs))
+
+        dma = pltpu.make_async_copy(
+            stage_ref,
+            out_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pl.ds(lane0, LB)],
+            dma_sem,
+        )
+        dma.start()
+        dma.wait()
+        return hist, coefs
+
+    jax.lax.fori_loop(0, NCH, chunk_body, (hist0, coefs0))
+
+
+@functools.partial(jax.jit, static_argnames=("F", "LB", "interpret"))
+def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=512, interpret=False):
+    """FIR reconstruction over transposed (F_pad, L) residuals.
+
+    Returns out_t (F_pad, L); rows of non-FIR or t >= ns lanes carry the
+    residual value (callers overwrite them from the vectorized paths).
+    """
+    F_pad, L = res_t.shape
+    assert L % LB == 0 and F_pad % _CHUNK == 0
+    SL = LB // 128
+    nblocks = L // LB
+
+    kern = functools.partial(_lpc_kernel, F=F_pad, LB=LB, interpret=interpret)
+    lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def lanes(x):
+        return x.reshape(nblocks, SL, 128)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            pl.BlockSpec((_TAPS, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((F_pad, L), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_CHUNK, LB), jnp.int32),
+            pltpu.VMEM((_CHUNK, LB), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        res_t,
+        lanes(is_fir.astype(jnp.int32)),
+        lanes(order),
+        lanes(den),
+        lanes(cb),
+        lanes(ns),
+        lanes(wrap16.astype(jnp.int32)),
+        coefs_t,
+    )
+    return out
