@@ -114,7 +114,7 @@ def _wsel(regs, j):
 
 
 def _dense_kernel(
-    words_ref,  # (W_pad, LB) int32 VMEM: word-major packed stream, lanes minor
+    words_hbm,  # (W_pad, B) int32 HBM (ANY): word-major packed streams
     bitpos_ref,  # (SL, 128)
     act_ref,  # (SL, 128) int32 mask
     pb_ref,  # (SL, 128)
@@ -122,11 +122,13 @@ def _dense_kernel(
     ns_ref,  # (SL, 128)
     sizebits_ref,  # (SL, 128)
     mb_ref,  # (SL, 128)
-    rows_ref,  # (F_pad, LB) OUTPUT in HBM (ANY): dense residual rows
+    rows_ref,  # (F_pad, B) OUTPUT in HBM (ANY): dense residual rows
     bitpos_out,  # (SL, 128)
     err_out,  # (SL, 128)
+    words_ref,  # VMEM scratch (W_pad, LB): this block's streams
     l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
     stage_ref,  # VMEM scratch (_K_ROWS, LB): row staging for one refill
+    words_sem,
     dma_sem,  # DMA semaphore
     *,
     kb: int,
@@ -138,6 +140,15 @@ def _dense_kernel(
     NB = W_pad // _BLK  # block rows in the stream
     lane0 = pl.multiple_of(pl.program_id(0) * LB, LB)
     wb_mask = (1 << kb) - 1 if kb < 32 else -1
+
+    # Pull this block's word columns into VMEM once.  (A VMEM-blocked input
+    # would be double-buffered by the pipeline and can overflow VMEM at
+    # production W; a single explicit DMA keeps one copy.)
+    words_dma = pltpu.make_async_copy(
+        words_hbm.at[:, pl.ds(lane0, LB)], words_ref, words_sem
+    )
+    words_dma.start()
+    words_dma.wait()
 
     def vec(x):
         return x.reshape(SL, 128)
@@ -389,7 +400,7 @@ def dense_entropy_pallas(
         kern,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((W_pad, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             lane_spec,
             lane_spec,
             lane_spec,
@@ -409,8 +420,10 @@ def dense_entropy_pallas(
             jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((W_pad, LB), jnp.int32),
             pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
             pltpu.VMEM((_K_ROWS, LB), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
