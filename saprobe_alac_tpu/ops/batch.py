@@ -11,17 +11,12 @@ reproducing the reference's exact per-packet error surface.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-#: Set SAPROBE_ALAC_PALLAS=1 to run the LPC stage through the Pallas kernel
-#: (ops/lpc_pallas.py) instead of the XLA scan.
-_USE_PALLAS = os.environ.get("SAPROBE_ALAC_PALLAS", "0") == "1"
 
 from ..codec import decode_packet as scalar_decode_packet
 from ..config import PacketConfig
@@ -86,12 +81,9 @@ def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, k
     # LPC reconstruction over (B*C) lanes.
     L = B * C
     ns_l = jnp.repeat(w.ns, C)
-    lpc_fn = lpc_batch
-    if _USE_PALLAS:
-        from .lpc_pallas import lpc_batch_pallas
-
-        lpc_fn = lpc_batch_pallas
-    mix = lpc_fn(
+    # (lpc_batch routes the FIR scan through the transposed Pallas kernel on
+    # TPU; see ops/lpc_kernel.py and SAPROBE_LPC_IMPL.)
+    mix = lpc_batch(
         res.reshape(L, F),
         w.order.reshape(L),
         w.mode.reshape(L),
