@@ -535,5 +535,40 @@ int32_t alac_decode_batch(const AlacConfigC* ccfg, const uint8_t* flat,
   return failures;
 }
 
+// Host-side packet batching for the device pipeline: packets (concatenated
+// in `flat` with offsets/sizes) -> (B, W_words) array of big-endian-bit-order
+// words, zero-padded (bitbuffer.go:28-32 pad semantics; the TPU kernels'
+// guard words are included in W_words by the caller).  The Python/numpy
+// version costs ~240 ms for a 2048x12KB batch (per-packet interpreter
+// overhead); this is the IO-path analogue of the reference's zero-copy
+// buffer handling.
+int32_t alac_pack_packets(const uint8_t* flat, const int64_t* offsets,
+                          const int32_t* sizes, int32_t count,
+                          int32_t w_words, uint32_t* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int32_t i = 0; i < count; ++i) {
+    const uint8_t* src = flat + offsets[i];
+    const int32_t len = sizes[i];
+    uint32_t* row = out + static_cast<int64_t>(i) * w_words;
+    const int32_t full = len / 4;
+    int32_t w = 0;
+    for (; w < full; ++w) {
+      const uint8_t* p = src + w * 4;
+      row[w] = (static_cast<uint32_t>(p[0]) << 24) | (static_cast<uint32_t>(p[1]) << 16) |
+               (static_cast<uint32_t>(p[2]) << 8) | static_cast<uint32_t>(p[3]);
+    }
+    if (len & 3) {
+      uint32_t acc = 0;
+      for (int32_t b = 0; b < (len & 3); ++b)
+        acc |= static_cast<uint32_t>(src[full * 4 + b]) << (24 - 8 * b);
+      row[w++] = acc;
+    }
+    for (; w < w_words; ++w) row[w] = 0;
+  }
+  return 0;
+}
+
 int32_t alac_core_version(void) { return 1; }
 }

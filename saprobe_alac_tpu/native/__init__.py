@@ -161,6 +161,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.alac_pack_packets.restype = ctypes.c_int32
+        lib.alac_pack_packets.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
         _lib = lib
         return _lib
 
@@ -300,3 +309,29 @@ def encode_packet(config: PacketConfig, spec, samples: np.ndarray) -> bytes:
     if rc < 0:
         raise ValueError(f"native encode failed with code {rc}")
     return out[:rc].tobytes()
+
+
+def pack_packets(packets, w_words: int) -> np.ndarray:
+    """Batch packets into a (B, w_words) big-endian-bit-order word array
+    via the threaded C++ packer.  Raises RuntimeError if unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+    flat = np.frombuffer(b"".join(packets), dtype=np.uint8)
+    if flat.size == 0:
+        flat = np.zeros(1, dtype=np.uint8)
+    sizes = np.array([len(p) for p in packets], dtype=np.int32)
+    offsets = np.zeros(len(packets), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:]) if len(packets) > 1 else None
+    out = np.empty((len(packets), w_words), dtype=np.uint32)
+    rc = lib.alac_pack_packets(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(packets),
+        w_words,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"alac_pack_packets failed: {rc}")
+    return out.view(np.int32)

@@ -18,14 +18,28 @@ def pack_packets(packets: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 
     words: (B, W) uint32, big-endian bit order within each word (bit 31 of
     word 0 is the first bit of the packet).  size_bits: (B,) int32.
+
+    The hot path is the threaded C++ packer (native/alac_core.cpp); the
+    numpy fallback joins once and byteswaps in a single pass (the naive
+    per-packet loop cost ~240 ms per 2048-packet batch, capping end-to-end
+    throughput regardless of device speed).
     """
     batch = len(packets)
     max_len = max((len(p) for p in packets), default=0)
-    width_bytes = ((max_len + 3) // 4 + GUARD_WORDS) * 4
-    buf = np.zeros((batch, width_bytes), dtype=np.uint8)
-    sizes = np.zeros(batch, dtype=np.int32)
-    for i, p in enumerate(packets):
-        buf[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-        sizes[i] = len(p) * 8
+    w_words = (max_len + 3) // 4 + GUARD_WORDS
+    sizes = np.fromiter((len(p) * 8 for p in packets), dtype=np.int32, count=batch)
+
+    import os
+
+    from .. import native
+
+    # The threaded C++ packer wins on multi-core hosts; on a single core
+    # numpy's bulk byteswap beats a scalar C loop.
+    if os.cpu_count() and os.cpu_count() > 2 and native.available():
+        return native.pack_packets(list(packets), w_words), sizes
+
+    width_bytes = w_words * 4
+    blob = b"".join(p.ljust(width_bytes, b"\0") if len(p) < width_bytes else p for p in packets)
+    buf = np.frombuffer(blob, dtype=np.uint8).reshape(batch, width_bytes)
     words = buf.view(">u4").astype(np.uint32).view(np.int32)
     return words, sizes

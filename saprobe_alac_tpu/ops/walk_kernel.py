@@ -238,25 +238,40 @@ def _dense_kernel(
             l1_fill(sb)
 
         ws = refill_window(bi, sb)
-        wsb = ws[1:] + [jnp.zeros_like(ws[0])]
+        z = jnp.zeros_like(ws[0])
+        wtab = [ws, ws[1:] + [z], ws[2:] + [z, z], ws[3:] + [z, z, z]]
 
-        def win32(off):
-            j = _sshr(off, 5)
-            rbits = off & 31
-            a = _u(_wsel(ws, j))
-            b = _u(_wsel(wsb, j))
+        def _mix(a, b, rbits):
+            """32 bits starting rbits into the (a, b) word pair."""
             return _s(
-                jax.lax.shift_left(a, _u(rbits))
+                jax.lax.shift_left(_u(a), _u(rbits))
                 | jax.lax.shift_right_logical(
-                    jax.lax.shift_right_logical(b, U32(1)), _u(31 - rbits)
+                    jax.lax.shift_right_logical(_u(b), U32(1)), _u(31 - rbits)
                 )
             )
+
+        def fetch4(off):
+            """Words j..j+3 at j = off>>5 — four select trees shared by all
+            three window reads of a row (start, escape at +9, zero-run at
+            +nbits<=41 then +25 bits: every consumer stays within 4 words)."""
+            j = _sshr(off, 5)
+            return [_wsel(wtab[i], j) for i in range(4)], off & 31
+
+        def win_at(w4, r, d):
+            """win32(off+d) from the shared words, d a vector in [0, 72]."""
+            rz = r + d
+            q = _sshr(rz, 5)  # 0..2
+            rr = rz & 31
+            a = jnp.where(q == 0, w4[0], jnp.where(q == 1, w4[1], w4[2]))
+            b = jnp.where(q == 0, w4[1], jnp.where(q == 1, w4[2], w4[3]))
+            return _mix(a, b, rr)
 
         base = _shl(bi, 8)
         off0 = bitpos & 255
 
         def row_body(k, rst):
             act, off, err, count, mean, zmode, zrem = rst
+            off_row0 = off
 
             dec = act * (zrem == 0).astype(I32)
             zdrain = act * (zrem > 0).astype(I32)
@@ -272,11 +287,12 @@ def _dense_kernel(
             k32p = jnp.minimum(_lg3a(m0), kb)
             m = _shl(jnp.ones_like(k32p), k32p) - 1
 
-            win = win32(off)
+            w4, r0 = fetch4(off)
+            win = _mix(w4[0], w4[1], r0)
             pre = _clz(~win)
 
             is_esc = pre >= 9
-            val_esc = _ushr(win32(off + 9), 32 - jnp.maximum(max_size, 1))
+            val_esc = _ushr(win_at(w4, r0, jnp.full_like(r0, 9)), 32 - jnp.maximum(max_size, 1))
             bits_esc = 9 + max_size
 
             win2 = _shl(win, pre + 1)
@@ -318,7 +334,8 @@ def _dense_kernel(
             )
             mz = (_shl(jnp.ones_like(k32), k32) - 1) & wb_mask
 
-            zwin = win32(off)
+            # off has advanced by nbits (<= 41) for dec lanes; still in w4.
+            zwin = win_at(w4, r0, off - off_row0)
             zpre = _clz(~zwin)
             z_esc = zpre >= 9
             zval_esc = _ushr(_shl(zwin, 9), 16)
