@@ -42,7 +42,7 @@ def main() -> int:
 
     # 1. 44.1/16 stereo facade
     cfg = make_config(depth=16, channels=2, frame_length=4096, sample_rate=44100)
-    pcm = music_pcm(44100 * 2, 2, 16, seed=1)
+    pcm = music_pcm(44100 * 8, 2, 16, seed=1)
     pkts = encode_packets(cfg, EncoderSpec(), pcm)
     spp = [min(4096, pcm.shape[0] - i * 4096) for i in range(len(pkts))]
     m4a = build_m4a(cfg, pkts, spp)
@@ -51,7 +51,7 @@ def main() -> int:
     dec = new_decoder(io.BytesIO(m4a), backend="jax", batch_size=32)
     t0 = time.perf_counter()
     out = dec.read()
-    report("1:44k16 facade", pcm.shape[0] / 44100, time.perf_counter() - t0,
+    report("1:44k16 facade", pcm.shape[0] / 44100.0, time.perf_counter() - t0,
            out == expected_pcm_bytes(pcm, 16))
 
     # 2. 8 kHz mono low-level API
@@ -68,7 +68,7 @@ def main() -> int:
 
     # 3. 96/24 shift path + seek
     cfg3 = make_config(depth=24, channels=2, frame_length=4096, sample_rate=96000)
-    pcm3 = music_pcm(96000, 2, 24, seed=3)
+    pcm3 = music_pcm(96000 * 4, 2, 24, seed=3)
     pkts3 = encode_packets(cfg3, EncoderSpec(bytes_shifted=1), pcm3)
     spp3 = [min(4096, pcm3.shape[0] - i * 4096) for i in range(len(pkts3))]
     m4a3 = build_m4a(cfg3, pkts3, spp3)
@@ -83,14 +83,14 @@ def main() -> int:
         pos = dec.seek(frac * dec.duration())
         off = round(pos * 96000) * 6
         ok3 = ok3 and dec.read() == expected_pcm_bytes(pcm3, 24)[off:]
-    report("3:96k24+seek", 1.0, dt3, ok3)
+    report("3:96k24+seek", 4.0, dt3, ok3)
 
     # 4. 7.1 @ 48k/24
     cfg4 = make_config(depth=24, channels=8, frame_length=4096, sample_rate=48000)
     pcm4 = music_pcm(48000, 8, 24, seed=4)
     pkts4 = encode_packets(cfg4, EncoderSpec(), pcm4)
     d4 = JaxBatchDecoder(cfg4)
-    d4.decode_packets(pkts4[:2])
+    d4.decode_packets(pkts4)  # warm the full bucketed shape
     t0 = time.perf_counter()
     out4 = b"".join(d4.decode_packets(pkts4))
     report("4:7.1 48k24", 1.0, time.perf_counter() - t0,
@@ -102,7 +102,7 @@ def main() -> int:
     base5 = encode_packets(cfg5, EncoderSpec(bytes_shifted=2), pcm5)
     big = [base5[i % len(base5)] for i in range(10000)]
     d5 = JaxBatchDecoder(cfg5)
-    d5.decode_packets(big[: args.batch])  # warm
+    np.asarray(d5.decode_async(big)[0])  # warm the full 10k bucketed shape
     t0 = time.perf_counter()
     h = d5.decode_async(big)
     packed5 = np.asarray(h[0])

@@ -260,7 +260,7 @@ _LFE_BITSTREAM_IDX = {6: 5, 7: 6, 8: 7}
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb",
         "order", "den_shift", "pb_factor", "mix_bits_s", "bytes_shifted",
-        "use_lfe_tag", "auto_escape",
+        "use_lfe_tag", "auto_escape", "fit",
     ),
 )
 def encode_walk(
@@ -270,7 +270,7 @@ def encode_walk(
     coefs_in,  # (32,) int32 shared initial coefficients
     frame_length, num_channels, depth, pb, mb, kb,
     order, den_shift, pb_factor, mix_bits_s, bytes_shifted, use_lfe_tag,
-    auto_escape,
+    auto_escape, fit=False,
 ):
     """Device-side packet assembly.  Returns (words (B, W) int32 BE, bit_len (B,)).
 
@@ -285,6 +285,43 @@ def encode_walk(
     C = num_channels
     B = planes.shape[0]
     layout = _element_layout(C)
+
+    def fit_coefs(d):
+        """Per-lane Levinson-Durbin on the post-mix channel data (float32 on
+        device; any coefficients are valid — the adaptive decoder walks from
+        them — so fp rounding only affects compression, never losslessness).
+        Mirrors native/alac_encode.cpp fit_coefs; falls back to the shared
+        coefficients for degenerate lanes."""
+        idxF = jnp.arange(F, dtype=I32)[None, :]
+        valid = idxF < ns[:, None]
+        x = jnp.where(valid, d, 0).astype(jnp.float32) * (1.0 / 32768.0)
+        mean = jnp.sum(x, 1, keepdims=True) / jnp.maximum(ns[:, None], 1).astype(jnp.float32)
+        x = jnp.where(valid, x - mean, 0.0)
+        R = [jnp.sum(x * x, 1) * (1.0 + 1e-9) + 1e-30]
+        for k in range(1, order + 1):
+            R.append(jnp.sum(x[:, k:] * x[:, : F - k], 1))
+        a = [jnp.zeros(B, jnp.float32) for _ in range(order + 1)]
+        err = R[0]
+        ok = R[0] > 1e-20
+        for i in range(1, order + 1):
+            acc = R[i]
+            for j in range(1, i):
+                acc = acc - a[j] * R[i - j]
+            k_ref = jnp.clip(acc / err, -0.999, 0.999)
+            prev = list(a)
+            a[i] = k_ref
+            for j in range(1, i):
+                a[j] = prev[j] - k_ref * prev[i - j]
+            err = err * (1.0 - k_ref * k_ref)
+            ok = ok & (err > 0.0)
+        cols = [
+            jnp.clip(jnp.round(a[k + 1] * float(1 << den_shift)), -30000, 30000).astype(I32)
+            for k in range(order)
+        ] + [jnp.zeros(B, I32)] * (32 - order)
+        fitted = jnp.stack(cols, axis=1)
+        shared = jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32)
+        use = ok & (ns >= 4 * order + 8)
+        return jnp.where(use[:, None], fitted, shared)
     offsets = CHANNEL_LAYOUT_OFFSETS[C - 1]
     bs = bytes_shifted if depth >= 24 else 0
     lfe_idx = _LFE_BITSTREAM_IDX.get(C, -1)
@@ -356,17 +393,24 @@ def encode_walk(
         else:
             ch_data = (h0,)
 
-        # --- residuals for all channels (also drives the uncodable gate) ---
+        # --- per-channel coefficients + residuals (and the uncodable gate) ---
+        if fit and 1 <= order <= 30:
+            ch_coefs = [fit_coefs(data) for data in ch_data]
+        else:
+            ch_coefs = [
+                jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32)
+                for _ in ch_data
+            ]
         res_list = []
         bad = jnp.zeros(B, bool)
-        for data in ch_data:
+        for data, ccoef in zip(ch_data, ch_coefs):
             res = _lpc_forward_batch(
                 data,
                 jnp.full(B, order, I32),
                 jnp.full(B, den_shift, I32),
                 jnp.full(B, cb, I32),
                 ns,
-                jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32),
+                ccoef,
                 F,
             )
             res_list.append(res)
@@ -384,11 +428,11 @@ def encode_walk(
         sc, sp = _emit(sc, sp, mbits, jnp.full(B, 8, I32))
         sc, sp = _emit(sc, sp, mr & 0xFF, jnp.full(B, 8, I32))
 
-        for _ in range(nch):
+        for ci in range(nch):
             sc, sp = _emit(sc, sp, jnp.full(B, den_shift, I32), jnp.full(B, 8, I32))
             sc, sp = _emit(sc, sp, jnp.full(B, (pb_factor << 5) | order, I32), jnp.full(B, 8, I32))
             for kcoef in range(order):
-                cval = jnp.broadcast_to(coefs_in[kcoef] & 0xFFFF, (B,)).astype(I32)
+                cval = ch_coefs[ci][:, kcoef] & 0xFFFF
                 sc, sp = _emit(sc, sp, cval, jnp.full(B, 16, I32))
 
         if bs_e:
@@ -476,6 +520,9 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         ns[i] = n
         planes[i, :, :n] = np.asarray(p, np.int64).T.astype(np.int32)
 
+    # Fallback coefficients (degenerate lanes / fitting off); with ch.fit and
+    # no pinned coefficients, the device re-fits per lane per channel on-chip
+    # (Levinson-Durbin inside encode_walk, matching the host encoders).
     coefs = ch.initial_coefs(np.asarray(pcm_list[0][:, 0], np.int64) if ch.order not in (0, 31) else None)
     coefs_arr = np.zeros(32, np.int32)
     coefs_arr[: len(coefs)] = coefs
@@ -488,6 +535,7 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         F, C, config.bit_depth, config.pb, config.mb, config.kb,
         ch.order, ch.den_shift, ch.pb_factor, max(spec.mix_bits, 0),
         spec.bytes_shifted, spec.use_lfe_tag, auto_escape,
+        fit=bool(ch.fit and not ch.coefs),
     )
     words = np.asarray(words)
     bits = np.asarray(bits)
