@@ -406,7 +406,13 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
     if dense:
         # One transpose per batch for the kernel's word-major layout, lanes
         # padded to a whole lane block.
-        LB = 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+        # Full (8, 128) vregs need 1024 lanes per block; smaller blocks only
+        # to bound padding waste on odd batch sizes.
+        LB = (
+            1024
+            if B % 1024 == 0
+            else 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+        )
         B_pad = ((B + LB - 1) // LB) * LB
         wt = words.T
         if B_pad != B:

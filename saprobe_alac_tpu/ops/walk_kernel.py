@@ -60,6 +60,12 @@ _K_ROWS = 8
 #: L1 scratch: per-lane superblock pair (2 x 32 blocks).
 _SB_BLOCKS = 32
 _L1_BLOCKS = 2 * _SB_BLOCKS  # 64 block rows
+#: Stream chunk for L1 rebuilds: words stay in HBM and are streamed through
+#: a small VMEM window (a full VMEM copy of the stream at production widths
+#: is ~8 MiB per 512 lanes — at LB=1024 it would exceed the ~16 MiB VMEM
+#: budget, and the L1 rebuild is the only consumer).
+_CHUNK_ROWS = 64  # block rows per chunk
+_CHUNK_WORDS = _CHUNK_ROWS * _BLK
 
 
 def _u(x):
@@ -125,7 +131,7 @@ def _dense_kernel(
     rows_ref,  # (F_pad, B) OUTPUT in HBM (ANY): dense residual rows
     bitpos_out,  # (SL, 128)
     err_out,  # (SL, 128)
-    words_ref,  # VMEM scratch (W_pad, LB): this block's streams
+    chunk_ref,  # VMEM scratch (_CHUNK_WORDS, LB): streaming window over words
     l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
     stage_ref,  # VMEM scratch (_K_ROWS, LB): row staging for one refill
     words_sem,
@@ -140,15 +146,6 @@ def _dense_kernel(
     NB = W_pad // _BLK  # block rows in the stream
     lane0 = pl.multiple_of(pl.program_id(0) * LB, LB)
     wb_mask = (1 << kb) - 1 if kb < 32 else -1
-
-    # Pull this block's word columns into VMEM once.  (A VMEM-blocked input
-    # would be double-buffered by the pipeline and can overflow VMEM at
-    # production W; a single explicit DMA keeps one copy.)
-    words_dma = pltpu.make_async_copy(
-        words_hbm.at[:, pl.ds(lane0, LB)], words_ref, words_sem
-    )
-    words_dma.start()
-    words_dma.wait()
 
     def vec(x):
         return x.reshape(SL, 128)
@@ -177,26 +174,53 @@ def _dense_kernel(
         per-lane selection happens in the masks.  Exactly one source row
         matches each (slot, lane), so select-accumulate over a zeroed scratch
         reconstructs the pair; blocks past the stream end stay zero
-        (bitbuffer.go:28-32 zero-pad semantics)."""
+        (bitbuffer.go:28-32 zero-pad semantics).  The stream is DMA-streamed
+        from HBM through chunk_ref (the full stream never lives in VMEM)."""
         l1_ref[...] = jnp.zeros((_L1_BLOCKS * _BLK, LB), I32)
         sb1 = sb + 1
 
-        def row(rb, _):
-            slot = rb % _SB_BLOCKS
-            blk = words_ref[pl.ds(rb * _BLK, _BLK), :]  # (8, LB)
-            rb_sb = rb // _SB_BLOCKS
-            m0 = (sb == rb_sb).astype(I32).reshape(1, SL, 128)
-            m1 = (sb1 == rb_sb).astype(I32).reshape(1, SL, 128)
-            b3 = blk.reshape(_BLK, SL, 128)
-            acc0 = l1_ref[pl.ds(slot * _BLK, _BLK), :].reshape(_BLK, SL, 128)
-            acc1 = l1_ref[pl.ds((_SB_BLOCKS + slot) * _BLK, _BLK), :].reshape(_BLK, SL, 128)
-            l1_ref[pl.ds(slot * _BLK, _BLK), :] = jnp.where(m0 == 1, b3, acc0).reshape(_BLK, LB)
-            l1_ref[pl.ds((_SB_BLOCKS + slot) * _BLK, _BLK), :] = jnp.where(
-                m1 == 1, b3, acc1
-            ).reshape(_BLK, LB)
+        def chunk(c, _):
+            # Chunk c covers superblocks {2c, 2c+1}; skip it unless some
+            # lane's pair {sb, sb+1} lands there (lanes advance in near
+            # lockstep, so typically only 1-2 of the chunks are fetched).
+            need_c = jnp.any((sb + 1 >= 2 * c) & (sb <= 2 * c + 1))
+
+            @pl.when(need_c)
+            def _():
+                _chunk_fill(c)
+
             return 0
 
-        jax.lax.fori_loop(0, NB, row, 0)
+        def _chunk_fill(c):
+            cdma = pltpu.make_async_copy(
+                words_hbm.at[pl.ds(c * _CHUNK_WORDS, _CHUNK_WORDS), pl.ds(lane0, LB)],
+                chunk_ref,
+                words_sem,
+            )
+            cdma.start()
+            cdma.wait()
+
+            def row(r, _):
+                rb = c * _CHUNK_ROWS + r
+                slot = rb % _SB_BLOCKS
+                blk = chunk_ref[pl.ds(r * _BLK, _BLK), :]  # (8, LB)
+                rb_sb = rb // _SB_BLOCKS
+                m0 = (sb == rb_sb).astype(I32).reshape(1, SL, 128)
+                m1 = (sb1 == rb_sb).astype(I32).reshape(1, SL, 128)
+                b3 = blk.reshape(_BLK, SL, 128)
+                acc0 = l1_ref[pl.ds(slot * _BLK, _BLK), :].reshape(_BLK, SL, 128)
+                acc1 = l1_ref[pl.ds((_SB_BLOCKS + slot) * _BLK, _BLK), :].reshape(_BLK, SL, 128)
+                l1_ref[pl.ds(slot * _BLK, _BLK), :] = jnp.where(m0 == 1, b3, acc0).reshape(
+                    _BLK, LB
+                )
+                l1_ref[pl.ds((_SB_BLOCKS + slot) * _BLK, _BLK), :] = jnp.where(
+                    m1 == 1, b3, acc1
+                ).reshape(_BLK, LB)
+                return 0
+
+            jax.lax.fori_loop(0, _CHUNK_ROWS, row, 0)
+
+        jax.lax.fori_loop(0, NB // _CHUNK_ROWS, chunk, 0)
 
     l1_fill(sb0)
 
@@ -400,6 +424,14 @@ def dense_entropy_pallas(
     """
     W_pad, B = words_t.shape
     assert B % LB == 0, (B, LB)
+    # The L1 rebuild streams the words through fixed-size chunks; round the
+    # word axis up to a whole chunk (zero rows = the reference's zero pad).
+    if W_pad % _CHUNK_WORDS:
+        pad_rows = _CHUNK_WORDS - W_pad % _CHUNK_WORDS
+        words_t = jnp.concatenate(
+            [words_t, jnp.zeros((pad_rows, B), words_t.dtype)], axis=0
+        )
+        W_pad += pad_rows
     SL = LB // 128
     F_pad = ((F + _K_ROWS - 1) // _K_ROWS) * _K_ROWS
     nblocks = B // LB
@@ -437,7 +469,7 @@ def dense_entropy_pallas(
             jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W_pad, LB), jnp.int32),
+            pltpu.VMEM((_CHUNK_WORDS, LB), jnp.int32),
             pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
             pltpu.VMEM((_K_ROWS, LB), jnp.int32),
             pltpu.SemaphoreType.DMA,
