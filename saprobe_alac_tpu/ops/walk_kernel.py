@@ -17,12 +17,17 @@ bits: escape codeword 9+32 plus zero-run code 9+16), giving K = 11
 guaranteed rows per 1024-bit register window.
 
 Window fetch is the other TPU-hostile part (per-lane word positions).  It
-runs as a two-level one-hot (masked-sum) pipeline, entirely in VMEM:
+runs as a two-level one-hot (masked-sum) pipeline:
   L1  per-lane superblock pair (2 x 32 blocks = 16 KiB of stream) rebuilt
-      from the full word buffer only when some lane's cursor leaves it
-      (every ~20 refills),
+      only when some lane's cursor leaves it (every ~20 refills); the
+      word stream stays in HBM and is DMA-streamed through a small VMEM
+      chunk window during the rebuild, with chunks no lane needs skipped
+      (a full VMEM copy of the stream would exceed the ~16 MiB VMEM
+      budget at 1024-lane blocks),
   L2  the 4-block (1024-bit) window selected from the 64-row L1 scratch
       every refill.
+Lane blocks are 1024 wide so every vector register is a full (8, 128)
+tile (512-lane blocks left the vregs half-empty).
 Bit extraction from the 32 window registers uses 5-level binary select
 trees — pure vector ALU, measured ~50ns per decoded row per 1024 lanes
 on v5e (see docs/PERFORMANCE.md).
