@@ -237,10 +237,13 @@ def main() -> int:
     jax.block_until_ready([jw, js])
     from saprobe_alac_tpu.ops.batch import _decode_batch
 
+    from saprobe_alac_tpu.ops import lpc as _lpc_mod
+    from saprobe_alac_tpu.ops import walk as _walk_mod
+
     def decode_fn():
         return _decode_batch(
             jw, js, cfg.frame_length, cfg.num_channels, cfg.bit_depth,
-            cfg.pb, cfg.mb, cfg.kb,
+            cfg.pb, cfg.mb, cfg.kb, _walk_mod._IMPL, _lpc_mod._IMPL,
         )
 
     np.asarray(csum(decode_fn()[0]))  # warm this shape
@@ -258,6 +261,9 @@ def main() -> int:
                 "value": round(x_dc, 1),
                 "unit": "x_realtime",
                 "vs_baseline": round(x_dc / 2630.0, 3),
+                # Legacy round-1 metric name, kept for round-over-round
+                # comparability (it was end-to-end throughput).
+                "decode_x_realtime_44k16_stereo": round(x_e2e, 1),
                 "device_resident_x_realtime": round(x_dr, 1),
                 "e2e_x_realtime": round(x_e2e, 1),
                 "link_h2d_MBps": round(h2d, 1),

@@ -322,7 +322,8 @@ def pack_packets(packets, w_words: int) -> np.ndarray:
         flat = np.zeros(1, dtype=np.uint8)
     sizes = np.array([len(p) for p in packets], dtype=np.int32)
     offsets = np.zeros(len(packets), dtype=np.int64)
-    np.cumsum(sizes[:-1], out=offsets[1:]) if len(packets) > 1 else None
+    if len(packets) > 1:
+        np.cumsum(sizes[:-1], out=offsets[1:])
     out = np.empty((len(packets), w_words), dtype=np.uint32)
     rc = lib.alac_pack_packets(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

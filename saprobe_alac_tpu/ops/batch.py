@@ -23,8 +23,10 @@ from ..config import PacketConfig
 from ..formats import bytes_per_sample
 from .bitpack import pack_packets
 from .epilogue import extract_escape, extract_shift, finish, pack_output
-from .lpc import lpc_batch
-from .walk import ERR_NONE, walk_batch
+from . import lpc as _lpc_mod
+from . import walk as _walk_mod
+from .lpc import _lpc_batch
+from .walk import ERR_NONE, _walk_batch
 
 def _host_decode(config: PacketConfig, packets: Sequence[bytes]) -> list[bytes]:
     """Host-side decode at the fastest available speed.
@@ -60,13 +62,22 @@ def _bucket(n: int, floor: int = 8) -> int:
         b *= 2
 
 
-@partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth", "pb", "mb", "kb"))
-def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frame_length", "num_channels", "depth", "pb", "mb", "kb",
+        "walk_impl", "lpc_impl",
+    ),
+)
+def _decode_batch(
+    words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
+    walk_impl, lpc_impl,
+):
     F = frame_length
     C = num_channels
     B = words.shape[0]
 
-    w = walk_batch(words, size_bits, F, C, depth, pb, mb, kb)
+    w = _walk_batch(words, size_bits, F, C, depth, pb, mb, kb, walk_impl)
 
     # Escape channels: raw extraction into the residual planes (order == 0).
     # Escape elements are rare in real streams (encoders only emit them when
@@ -83,7 +94,7 @@ def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, k
     ns_l = jnp.repeat(w.ns, C)
     # (lpc_batch routes the FIR scan through the transposed Pallas kernel on
     # TPU; see ops/lpc_kernel.py and SAPROBE_LPC_IMPL.)
-    mix = lpc_batch(
+    mix = _lpc_batch(
         res.reshape(L, F),
         w.order.reshape(L),
         w.mode.reshape(L),
@@ -92,6 +103,7 @@ def _decode_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, k
         ns_l,
         w.coefs.reshape(L, 32),
         F,
+        lpc_impl,
     ).reshape(B, C, F)
 
     # bytesShifted > 0 only appears on 24/32-bit streams; skip the fixed-stride
@@ -133,6 +145,8 @@ class JaxBatchDecoder:
         blocking — callers can pipeline multiple batches in flight."""
         cfg = self.config
         words, sizes = self._stage(packets)
+        # Impl selections are read at call time so tests/sweeps flipping the
+        # module globals get a fresh trace (they are static jit args).
         return _decode_batch(
             jnp.asarray(words),
             jnp.asarray(sizes),
@@ -142,6 +156,8 @@ class JaxBatchDecoder:
             cfg.pb,
             cfg.mb,
             cfg.kb,
+            _walk_mod._IMPL,
+            _lpc_mod._IMPL,
         )
 
     def _to_bytes(self, packed_row: np.ndarray, ns: int) -> bytes:

@@ -33,10 +33,10 @@ from .jaxint import I32, s, sext, sext16, sshr, u
 _IMPL = os.environ.get("SAPROBE_LPC_IMPL", "auto")
 
 
-def _kernel_impl() -> bool:
-    if _IMPL in ("pallas", "pallas_interpret"):
+def _kernel_impl(impl: str) -> bool:
+    if impl in ("pallas", "pallas_interpret"):
         return True
-    if _IMPL == "xla":
+    if impl == "xla":
         return False
     return jax.default_backend() == "tpu"
 
@@ -56,8 +56,14 @@ def delta_decode(res, chan_bits, ns):
     return jnp.where(jnp.arange(res.shape[1])[None, :] == 0, res, out)
 
 
-@partial(jax.jit, static_argnames=("frame_length",))
 def lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length):
+    """Thin unjitted wrapper forwarding the module-level ``_IMPL`` selection
+    as a static jit argument (flipping it retraces — see walk.walk_batch)."""
+    return _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, _IMPL)
+
+
+@partial(jax.jit, static_argnames=("frame_length", "impl"))
+def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
     """Reconstruct samples from residuals for all lanes.
 
     res:   (L, F) int32 entropy residuals (escape lanes hold raw samples and
@@ -98,7 +104,7 @@ def lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length):
     for o in _INT32_ORDERS:
         wrap16 = wrap16 & (order != o)
 
-    if _kernel_impl():
+    if _kernel_impl(impl):
         from .lpc_kernel import lpc_fir_pallas
 
         F_pad = ((F + 7) // 8) * 8
@@ -124,7 +130,7 @@ def lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length):
             padL(coefs).T,
             F=F_pad,
             LB=LB,
-            interpret=_IMPL == "pallas_interpret",
+            interpret=impl == "pallas_interpret",
         )
         fir_out = out_t[:F, :L].T
         return jnp.where(is_fir[:, None], fir_out, out0)

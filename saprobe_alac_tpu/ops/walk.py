@@ -92,10 +92,10 @@ _FETCH = os.environ.get("SAPROBE_WALK_FETCH", "onehot")
 _IMPL = os.environ.get("SAPROBE_WALK_IMPL", "auto")
 
 
-def _dense_impl() -> bool:
-    if _IMPL in ("pallas", "pallas_interpret"):
+def _dense_impl(impl: str) -> bool:
+    if impl in ("pallas", "pallas_interpret"):
         return True
-    if _IMPL == "xla":
+    if impl == "xla":
         return False
     return jax.default_backend() == "tpu"
 
@@ -363,7 +363,7 @@ def _entropy_dense(words_t, B, size_bits, bitpos, err, res, active, cur_chan, pb
         kb=cfg["kb"],
         F=F,
         LB=LB,
-        interpret=_IMPL == "pallas_interpret",
+        interpret=cfg["impl"] == "pallas_interpret",
     )
     rows_b = rows[:F, :B].T  # (B, F)
     kerr = kerr[:B]
@@ -387,9 +387,25 @@ def _parse_coefs(words, p, num):
     return coefs, p + 16 * num
 
 
-@partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth", "pb", "mb", "kb"))
 def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
-    """Run phase 1 over a packed batch.  Returns WalkResult."""
+    """Run phase 1 over a packed batch.  Returns WalkResult.
+
+    Thin unjitted wrapper: the module-level ``_IMPL`` selection is forwarded
+    as a *static* jit argument so flipping it (tests, sweeps) retraces
+    instead of silently reusing a cached executable for the other path.
+    """
+    return _walk_batch(
+        words, size_bits, frame_length, num_channels, depth, pb, mb, kb, _IMPL
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frame_length", "num_channels", "depth", "pb", "mb", "kb", "impl",
+    ),
+)
+def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb, impl):
     # The entropy loop fetches _BLK-word-aligned blocks; zero-pad the word
     # axis up so any caller's W works (production bucketing already rounds,
     # so this concat is a no-op on the hot path).
@@ -399,9 +415,9 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
     B = words.shape[0]
     F = frame_length
     C = num_channels
-    cfg = {"frame_length": F, "kb": kb, "mb": mb}
+    cfg = {"frame_length": F, "kb": kb, "mb": mb, "impl": impl}
 
-    dense = _dense_impl()
+    dense = _dense_impl(impl)
     words_t = None
     if dense:
         # One transpose per batch for the kernel's word-major layout, lanes

@@ -41,6 +41,9 @@ class ShardedBatchDecoder(JaxBatchDecoder):
         self.mesh = mesh if mesh is not None else make_packet_mesh()
         self._n = self.mesh.devices.size
 
+        from ..ops import lpc as _lpc_mod
+        from ..ops import walk as _walk_mod
+
         cfg = config
         single = partial(
             _decode_batch,
@@ -50,6 +53,10 @@ class ShardedBatchDecoder(JaxBatchDecoder):
             pb=cfg.pb,
             mb=cfg.mb,
             kb=cfg.kb,
+            # Impl selections bind at construction: build a fresh decoder
+            # after flipping the module globals (they are static jit args).
+            walk_impl=_walk_mod._IMPL,
+            lpc_impl=_lpc_mod._IMPL,
         )
         sharded = jax.shard_map(
             single,

@@ -127,6 +127,95 @@ PKT_ZERORUN_K32_EDGE = bytes.fromhex("00001000000008000001011ee0")
 PCM_ZERORUN_K32_EDGE = np.array([-1, 0, 0, -2], dtype="<i2").tobytes()
 
 
+# ---------------------------------------------------------------------------
+# Vector 7 — SCE order-2 adaptive FIR with the multi-tap sign-walk, 6 samples.
+#
+# The walk (predictor.go:660-682) is the subtlest loop in the codec: taps
+# adapt from k=order-1 down to 0, each subtracting (order-k)*((±dd)>>den)
+# from del0, with an early break when del0 crosses zero.  This vector drives
+# all three walk outcomes: full walk incl. a sgn==0 tap, early exit on the
+# sign<0 branch (del0 hits exactly 0), early exit on the sign>0 branch.
+#
+# Header: partial, no shift, compressed; ns=6; mode=0 denShift=1 (0x01);
+# pbFactor=4 num=2 (0x04? -> byte 0b100_00010 = 0x82); c0=2 (0x0002),
+# c1=-1 (0xFFFF).
+# Entropy (mean trace, pb=40 mb=10: k=1 while mean<512, k=2 at mean>=512):
+#   "11110" n=4 -> del=+2, mean 10->170      "1110"  n=3 -> del=-2, mean 277
+#   "11110" n=4 -> del=+2, mean 416          "11110" n=4 -> del=+2, mean 544
+#   mean 544 -> k=2 (m=3): "010" pre=0 v=2 -> 0*3+v-1=1 -> del=-1, mean 542
+#   k=2: "011" v=3 -> ndecode 2 -> del=+1
+# Residuals [2,-2,2,2,-1,1].  Predictor (order 2, den=1, denHalf=1):
+#   warm-up: out0=2, out1=0, out2=2
+#   idx3: top=out0=2, sum1 = 2*(out2-2) + (-1)*(out1-2) = 0+2 = 2
+#         out3 = 2+2+((2+1)>>1) = 5; sign>0 walk:
+#           k=1: dd=2-out1=2, sgn=1, c1->-2, del0=2-1*((2)>>1)=1 >0, continue
+#           k=0: dd=2-out2=0, sgn=0, c0 stays, del0 unchanged (full walk)
+#   idx4: top=out1=0, sum1 = 2*5 + (-2)*2 = 6
+#         out4 = -1+0+((6+1)>>1) = 2; sign<0 walk:
+#           k=1: dd=0-out2=-2, sgn=-1, c1->-3, del0=-1-1*((2)>>1)=0 >=0 BREAK
+#   idx5: top=out2=2, sum1 = 2*(2-2) + (-3)*(5-2) = -9
+#         out5 = 1+2+((-9+1)>>1 = -4) = -1; sign>0 walk:
+#           k=1: dd=2-5=-3, sgn=-1, c1->-2, del0=1-1*((3)>>1)=0 <=0 BREAK
+# Output [2, 0, 2, 5, 2, -1].
+PKT_LPC_ORDER2_WALK = bytes.fromhex("0000100000000c000003040005ffffeef793e0")
+PCM_LPC_ORDER2_WALK = np.array([2, 0, 2, 5, 2, -1], dtype="<i2").tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 8 — 24-bit, bytesShifted=1: the shift-buffer LSB re-insert, 4 samples.
+#
+# Header shift field = 01 -> chanBits = 24-8 = 16.  After the channel header
+# the decoder snapshots the cursor, skips ns*8 shift bits, entropy-decodes,
+# then re-reads the shift bytes from the snapshot (decoder.go:289-293,
+# 314-321).  Output sample = (val<<8) | shiftByte, 3 bytes LE
+# (matrix.go WriteMono24).
+# Shift region bytes: AB 00 FF 01.  Entropy "11110","1110","1111110",
+# "111110" -> residuals [2,-2,3,-3] (mean trace 170, 277, 496 — all in
+# [128,512): k stays 1, no zero-run).  Order 0 -> out = residuals.
+# PCM: (2<<8)|0xAB=0x02AB; (-2<<8)=0xFFFE00; (3<<8)|0xFF=0x03FF;
+#      (-3<<8)|0x01=0xFFFD01 -> LE triples.
+PKT_24BIT_SHIFT = bytes.fromhex("00001400000008000001015601fe03eefdf7")
+PCM_24BIT_SHIFT = bytes.fromhex("ab020000feffff030001fdff")
+
+# ---------------------------------------------------------------------------
+# Vector 9 — 20-bit: the <<4 output path, 4 samples, order 0, no shift.
+#
+# chanBits = 20; WriteMono20 emits (val<<4) as 3 LE bytes (matrix.go:66-105).
+# Entropy "11110","1110","11110","1110" -> residuals [2,-2,2,-2].
+# PCM: 32 -> 20 00 00; -32=0xFFFFE0 -> E0 FF FF; repeat.
+PKT_20BIT = bytes.fromhex("0000100000000800000101eef770")
+PCM_20BIT = bytes.fromhex("200000e0ffff200000e0ffff")
+
+# ---------------------------------------------------------------------------
+# Vector 10 — 32-bit, bytesShifted=2: 16-bit shift re-insert, 4 samples.
+#
+# Header shift field = 10 -> chanBits = 32-16 = 16; shift region is ns
+# 16-bit words (BEEF 0001 FFFF 8000); WriteMono32 emits (val<<16)|shift as
+# 4 LE bytes.  Entropy as vector 8 -> residuals [2,-2,3,-3].
+# PCM: 0x02BEEF; 0xFFFE0001; 0x03FFFF; 0xFFFD8000 -> LE quads.
+PKT_32BIT_SHIFT2 = bytes.fromhex("00001800000008000001017dde0003ffff0001eefdf7")
+PCM_32BIT_SHIFT2 = bytes.fromhex("efbe02000100feffffff03000080fdff")
+
+
+#: (depth, packet, want) triples covering every bit depth and both shift
+#: widths; all mono SCE so they batch per-config.
+DEPTH_VECTORS = [
+    pytest.param(16, PKT_LPC_ORDER2_WALK, PCM_LPC_ORDER2_WALK, id="lpc-order2-signwalk"),
+    pytest.param(24, PKT_24BIT_SHIFT, PCM_24BIT_SHIFT, id="24bit-shift1"),
+    pytest.param(20, PKT_20BIT, PCM_20BIT, id="20bit-shl4"),
+    pytest.param(32, PKT_32BIT_SHIFT2, PCM_32BIT_SHIFT2, id="32bit-shift2"),
+]
+
+
+@pytest.mark.parametrize("depth,packet,want", DEPTH_VECTORS)
+def test_golden_depths_all_impls(depth, packet, want):
+    cfg = make_config(depth=depth, channels=1)
+    got, _ = oracle(cfg, packet)
+    assert got == want
+    if native.available():
+        assert native.decode_packet(cfg, packet) == want
+    assert JaxBatchDecoder(cfg).decode_packets([packet]) == [want]
+
+
 def _edge_config():
     return make_config(depth=16, channels=1, pb=48, mb=0, kb=14)
 

@@ -64,3 +64,38 @@ def test_lpc_kernel_mode_delta_prepass(lpc_interpret):
 def test_lpc_kernel_24bit_partial(lpc_interpret):
     cfg = make_config(depth=24, frame_length=128)
     _roundtrip(cfg, music_pcm(128 * 2 - 37, 2, 24, seed=43))
+
+
+def test_lpc_impl_flip_retraces_same_shape():
+    """Regression (advisor round 2): same retrace guarantee for lpc._IMPL —
+    see test_walk_kernel.test_impl_flip_retraces_same_shape."""
+    import jax
+
+    import saprobe_alac_tpu.ops.lpc as lpc
+    import saprobe_alac_tpu.ops.lpc_kernel as lk
+    from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+    cfg = make_config(frame_length=128)
+    spec = EncoderSpec(channel=ChannelSpec(order=4))
+    pkts = encode_packets(cfg, spec, music_pcm(128 * 2, 2, 16, seed=12))
+
+    jax.clear_caches()
+    old = lpc._IMPL
+    fired = []
+    orig = lk.lpc_fir_pallas
+
+    def spy(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    try:
+        lpc._IMPL = "xla"
+        want = JaxBatchDecoder(cfg).decode_packets(pkts)
+        lk.lpc_fir_pallas = spy
+        lpc._IMPL = "pallas_interpret"
+        got = JaxBatchDecoder(cfg).decode_packets(pkts)
+    finally:
+        lpc._IMPL = old
+        lk.lpc_fir_pallas = orig
+    assert fired, "kernel was not invoked after flipping _IMPL (stale jit cache)"
+    assert got == want

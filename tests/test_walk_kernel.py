@@ -85,3 +85,40 @@ def test_dense_corrupt_packet_errors(dense_interpret):
     cfg = make_config(frame_length=128)
     with pytest.raises((DecodeError, EOFError, IndexError)):
         _roundtrip(cfg, music_pcm(128 * 4, 2, 16, seed=9), corrupt=2)
+
+
+def test_impl_flip_retraces_same_shape():
+    """Regression (advisor round 2): flipping walk._IMPL must retrace even for
+    a batch shape already compiled under another impl — the selection is a
+    static jit argument, so the differential gate cannot pass vacuously off a
+    cached executable that never routed through the kernel."""
+    import jax
+
+    import saprobe_alac_tpu.ops.walk as walk
+    import saprobe_alac_tpu.ops.walk_kernel as wk
+    from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+    cfg = make_config(frame_length=128)
+    pcm = music_pcm(128 * 2, 2, 16, seed=11)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+
+    jax.clear_caches()
+    old = walk._IMPL
+    fired = []
+    orig = wk.dense_entropy_pallas
+
+    def spy(*a, **k):
+        fired.append(1)
+        return orig(*a, **k)
+
+    try:
+        walk._IMPL = "xla"
+        want = JaxBatchDecoder(cfg).decode_packets(pkts)  # caches the shape
+        wk.dense_entropy_pallas = spy
+        walk._IMPL = "pallas_interpret"
+        got = JaxBatchDecoder(cfg).decode_packets(pkts)  # same shape: must retrace
+    finally:
+        walk._IMPL = old
+        wk.dense_entropy_pallas = orig
+    assert fired, "kernel was not invoked after flipping _IMPL (stale jit cache)"
+    assert got == want
