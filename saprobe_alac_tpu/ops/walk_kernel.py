@@ -58,10 +58,18 @@ _WIN_BLOCKS = 4
 _NWIN = _WIN_BLOCKS * _BLK  # 32 words = 1024 bits
 #: Worst-case bits consumed by one decoding row (escape 9+32, zero-run 9+16).
 _WORST = 66
-#: Guaranteed decodable rows per window: off0 + K*_WORST <= _NWIN*32 allows
-#: K = 11, but DMA slices must be aligned to the 8-sublane tile, so K = 8
-#: (255 + 8*66 = 783 <= 1024 bits leaves slack to spare).
+#: Output rows staged in VMEM between HBM flushes (8-sublane DMA alignment).
 _K_ROWS = 8
+#: Row-start bound: a row starting at off < _REFRESH_AT reads words
+#: (off>>5)..(off>>5)+3 <= 30 — bits off..off+127 all inside the 32-word
+#: window.
+_REFRESH_AT = 896
+#: Group-start refresh threshold: the window refresh is *data-dependent* but
+#: checked once per _K_ROWS-row group (per-row scalar reductions cost more
+#: than the refills they avoid).  A group starting with every active lane
+#: below _GROUP_AT keeps all its row starts below _REFRESH_AT even at the
+#: worst-case _WORST bits per row.
+_GROUP_AT = _REFRESH_AT - (_K_ROWS - 1) * _WORST  # = 434
 #: L1 scratch: per-lane superblock pair (2 x 32 blocks).
 _SB_BLOCKS = 32
 _L1_BLOCKS = 2 * _SB_BLOCKS  # 64 block rows
@@ -138,7 +146,8 @@ def _dense_kernel(
     err_out,  # (SL, 128)
     chunk_ref,  # VMEM scratch (_CHUNK_WORDS, LB): streaming window over words
     l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
-    stage_ref,  # VMEM scratch (_K_ROWS, LB): row staging for one refill
+    win_ref,  # VMEM scratch (_NWIN*SL, 128): current 32-word window
+    stage_ref,  # VMEM scratch (_K_ROWS, LB): row staging for one group
     words_sem,
     dma_sem,  # DMA semaphore
     *,
@@ -166,7 +175,7 @@ def _dense_kernel(
     # Inactive lanes keep bitpos; guard against negative cursors up front.
     act = act0 * (ns > 0).astype(I32)
 
-    NR = pl.cdiv(F, _K_ROWS)  # refills
+    NR = pl.cdiv(F, _K_ROWS)  # staged row groups
 
     # ---- initial L1 fill + loop state ----
     bi0 = _sshr(bitpos, 8)  # window block index
@@ -230,9 +239,10 @@ def _dense_kernel(
     l1_fill(sb0)
 
     def refill_window(bi, sb):
-        """Select the 4 window blocks bi..bi+3 from the 64-row L1 scratch.
-        Out-of-range rows contribute zero (reference zero-pad semantics)."""
-        nbi = bi - sb * _SB_BLOCKS  # in [0, 61] by the refresh invariant
+        """Select the 4 window blocks bi..bi+3 from the 64-row L1 scratch
+        into win_ref.  Out-of-range rows contribute zero (reference zero-pad
+        semantics)."""
+        nbi = bi - sb * _SB_BLOCKS  # in [0, 62] by the refresh invariant
         accs = [jnp.zeros((_BLK, SL, 128), I32) for _ in range(_WIN_BLOCKS)]
 
         def row(nb, accs):
@@ -245,61 +255,79 @@ def _dense_kernel(
             return tuple(out)
 
         accs = jax.lax.fori_loop(0, _L1_BLOCKS, row, tuple(accs))
-        regs = []
         for t in range(_WIN_BLOCKS):
             for w in range(_BLK):
-                regs.append(accs[t][w])
-        return regs  # 32 x (SL, 128)
+                win_ref[pl.ds((t * _BLK + w) * SL, SL), :] = accs[t][w]
 
-    # ---- main loop over refills ----
-    def refill_body(r, st):
-        act, bitpos, err, count, mean, zmode, zrem, sb = st
+    refill_window(bi0, sb0)
 
-        # L1 refresh when some active lane's window leaves the scratch
-        # (lockstep: one refresh serves every lane, each selecting its own
-        # superblock pair).
-        bi = _sshr(bitpos, 8)
-        need = jnp.any((act == 1) & (bi - sb * _SB_BLOCKS > _L1_BLOCKS - 1 - _WIN_BLOCKS))
-        sb = jnp.where(need, _sshr(bi, 5), sb)
+    def _mix(a, b, rbits):
+        """32 bits starting rbits into the (a, b) word pair."""
+        return _s(
+            jax.lax.shift_left(_u(a), _u(rbits))
+            | jax.lax.shift_right_logical(
+                jax.lax.shift_right_logical(_u(b), U32(1)), _u(31 - rbits)
+            )
+        )
 
-        @pl.when(need)
+    z = jnp.zeros((SL, 128), I32)
+
+    def win_at(w4, r, d):
+        """win32(off+d) from the shared words, d a vector in [0, 72]."""
+        rz = r + d
+        q = _sshr(rz, 5)  # 0..2
+        rr = rz & 31
+        a = jnp.where(q == 0, w4[0], jnp.where(q == 1, w4[1], w4[2]))
+        b = jnp.where(q == 0, w4[1], jnp.where(q == 1, w4[2], w4[3]))
+        return _mix(a, b, rr)
+
+    # ---- main loop over staged row groups ----
+    def group_body(g, st):
+        act, off, err, count, mean, zmode, zrem, base, sb = st
+
+        # Group-level data-dependent window refresh: ONE cross-lane
+        # reduction + predicated re-select per _K_ROWS rows (scalar
+        # reductions and VMEM re-loads per row cost more than they save).
+        # Invariant: every row in the group starts at off <= _REFRESH_AT-1,
+        # so its window reads stay inside the 1024-bit window — guaranteed
+        # by guarding the group start at _GROUP_AT and bounding each row at
+        # _WORST bits.  Music-like streams (~25-30 bits/row) refresh every
+        # ~2 groups instead of every group (the old worst-case budget).
+        needw = jnp.any((act == 1) & (off >= _GROUP_AT))
+        bitpos_cur = base + off
+        bi = _sshr(bitpos_cur, 8)
+        need_l1 = needw & jnp.any(
+            (act == 1) & (bi - sb * _SB_BLOCKS > _L1_BLOCKS - 1 - _WIN_BLOCKS)
+        )
+        sb = jnp.where(need_l1, _sshr(bi, 5), sb)
+
+        @pl.when(need_l1)
         def _():
             l1_fill(sb)
 
-        ws = refill_window(bi, sb)
-        z = jnp.zeros_like(ws[0])
+        @pl.when(needw)
+        def _():
+            refill_window(bi, sb)
+
+        base = jnp.where(needw, _shl(bi, 8), base)
+        off = jnp.where(needw, bitpos_cur & 255, off)
+
+        # Window registers for the whole group: loaded once, loop-invariant
+        # across the _K_ROWS row iterations.
+        ws = [win_ref[pl.ds(i * SL, SL), :] for i in range(_NWIN)]
         wtab = [ws, ws[1:] + [z], ws[2:] + [z, z], ws[3:] + [z, z, z]]
 
-        def _mix(a, b, rbits):
-            """32 bits starting rbits into the (a, b) word pair."""
-            return _s(
-                jax.lax.shift_left(_u(a), _u(rbits))
-                | jax.lax.shift_right_logical(
-                    jax.lax.shift_right_logical(_u(b), U32(1)), _u(31 - rbits)
-                )
-            )
-
         def fetch4(off):
-            """Words j..j+3 at j = off>>5 — four select trees shared by all
-            three window reads of a row (start, escape at +9, zero-run at
-            +nbits<=41 then +25 bits: every consumer stays within 4 words)."""
+            """Words j..j+3 at j = off>>5 — four select trees shared by
+            all three window reads of a row (start, escape at +9,
+            zero-run at +nbits<=41 then +25 bits: every consumer stays
+            within 4 words)."""
             j = _sshr(off, 5)
             return [_wsel(wtab[i], j) for i in range(4)], off & 31
 
-        def win_at(w4, r, d):
-            """win32(off+d) from the shared words, d a vector in [0, 72]."""
-            rz = r + d
-            q = _sshr(rz, 5)  # 0..2
-            rr = rz & 31
-            a = jnp.where(q == 0, w4[0], jnp.where(q == 1, w4[1], w4[2]))
-            b = jnp.where(q == 0, w4[1], jnp.where(q == 1, w4[2], w4[3]))
-            return _mix(a, b, rr)
-
-        base = _shl(bi, 8)
-        off0 = bitpos & 255
-
         def row_body(k, rst):
             act, off, err, count, mean, zmode, zrem = rst
+
             off_row0 = off
 
             dec = act * (zrem == 0).astype(I32)
@@ -388,33 +416,41 @@ def _dense_kernel(
             act = act * (count < ns).astype(I32) * (err == ERR_NONE).astype(I32)
             return act, off, err, count, mean, zmode, zrem
 
-        rst = (act, off0, err, count, mean, zmode, zrem)
+        rst = (act, off, err, count, mean, zmode, zrem)
         act, off, err, count, mean, zmode, zrem = jax.lax.fori_loop(
             0, _K_ROWS, row_body, rst
         )
-        bitpos = jnp.where(act0 == 1, base + off, bitpos)
 
         # Stream the staged rows to HBM at the uniform row offset (rows_ref
         # is the FULL (F_pad, B) array in HBM: ANY-space blocks cannot be
         # lane-partitioned, so the kernel addresses its lane range itself).
         dma = pltpu.make_async_copy(
-            stage_ref, rows_ref.at[pl.ds(r * _K_ROWS, _K_ROWS), pl.ds(lane0, LB)], dma_sem
+            stage_ref, rows_ref.at[pl.ds(g * _K_ROWS, _K_ROWS), pl.ds(lane0, LB)], dma_sem
         )
         dma.start()
         dma.wait()
 
-        return act, bitpos, err, count, mean, zmode, zrem, sb
+        return act, off, err, count, mean, zmode, zrem, base, sb
 
-    z = jnp.zeros((SL, 128), I32)
-    st = (act, bitpos, jnp.zeros((SL, 128), I32), z, mb0, z, z, sb0)
-    act, bitpos, err, count, mean, zmode, zrem, sb = jax.lax.fori_loop(
-        0, NR, refill_body, st
+    st = (
+        act,
+        bitpos & 255,
+        jnp.zeros((SL, 128), I32),
+        z,
+        mb0,
+        z,
+        z,
+        _shl(bi0, 8),
+        sb0,
+    )
+    act, off, err, count, mean, zmode, zrem, base, sb = jax.lax.fori_loop(
+        0, NR, group_body, st
     )
 
-    # Lanes still active after NR refills decoded every row; lanes that died
+    # Lanes still active after NR groups decoded every row; lanes that died
     # with an error keep their code.  (The XLA walk's divergence guard is not
-    # needed: the refill count is statically F/K.)
-    bitpos_out[...] = bitpos.reshape(bitpos_ref.shape)
+    # needed: the row count is statically F.)
+    bitpos_out[...] = jnp.where(act0 == 1, base + off, bitpos).reshape(bitpos_ref.shape)
     err_out[...] = err.reshape(bitpos_ref.shape)
 
 
@@ -476,6 +512,7 @@ def dense_entropy_pallas(
         scratch_shapes=[
             pltpu.VMEM((_CHUNK_WORDS, LB), jnp.int32),
             pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
+            pltpu.VMEM((_NWIN * SL, 128), jnp.int32),
             pltpu.VMEM((_K_ROWS, LB), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
