@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Full-matrix differential sweep ON REAL TPU through the Pallas kernel path.
+
+The CPU sweep (hack/sweep_jax.py) validates the XLA fallback; this one pins
+the production path: Mosaic-compiled walk/LPC kernels (SAPROBE_*_IMPL=pallas,
+forced so a non-TPU run fails loudly instead of silently testing XLA), every
+bit depth x channel count, the spec variants (escape / shift / orders /
+mix), partial frames, silence, noise, and every lane-block size the
+dispatcher can pick (LB 128/256/512/1024 + padded ragged batches).
+
+Mirrors the role of the reference's hardware conformance matrix
+(/root/reference/tests/conformance_test.go:568-628: depths x rates x
+channels x encoders on the real execution path).  Sample rate is a metadata
+passthrough here (kernels never see it), so the axis that matters on TPU is
+shape: (depth, channels, lane block, frame occupancy).
+
+Writes a machine-readable artifact to QA_SWEEP_TPU.json after every config
+(partial runs still leave evidence) and prints one line per config.
+
+Run (one tunnel client at a time — never concurrently with bench.py):
+    python hack/sweep_tpu.py [--quick]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+os.environ["SAPROBE_WALK_IMPL"] = "pallas"
+os.environ["SAPROBE_LPC_IMPL"] = "pallas"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+ART = Path(__file__).resolve().parent.parent / "QA_SWEEP_TPU.json"
+CACHE = Path(__file__).resolve().parent.parent / ".bench_cache"
+
+#: Frame length for the sweep: small enough that the scalar oracle is fast,
+#: large enough that music-like streams cross several 1024-bit window
+#: refreshes and L1 superblock refills per packet (~15 bits/row x 256 rows
+#: = ~3.8k bits > 3 windows).
+F = 256
+#: Default batch: exercises the full-vreg LB=1024 lane-block path.
+B_MAIN = 1024
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="one config per section")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(CACHE / "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    backend = jax.default_backend()
+    device = str(jax.devices()[0])
+    if backend != "tpu":
+        print(f"FATAL: backend is {backend!r}, not tpu — this sweep only "
+              "means anything on hardware", flush=True)
+        return 2
+
+    from conftest import make_config, music_pcm
+
+    from saprobe_alac_tpu.codec import decode_packet as oracle
+    from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
+    from saprobe_alac_tpu.encoder.encode import ChannelSpec
+    from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+    rev = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=ART.parent,
+    ).stdout.strip()
+
+    results = []
+    decs = {}
+    t0 = time.time()
+
+    def flush_artifact():
+        fails = [r for r in results if not r["ok"]]
+        ART.write_text(json.dumps({
+            "backend": backend,
+            "device": device,
+            "impl": {"walk": "pallas", "lpc": "pallas"},
+            "git": rev,
+            "frame_length": F,
+            "configs": len(results),
+            "failures": len(fails),
+            "elapsed_s": round(time.time() - t0, 1),
+            "results": results,
+        }, indent=1) + "\n")
+
+    def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None):
+        cfg = make_config(depth=depth, channels=ch, frame_length=F)
+        if pcm is None:
+            pcm = music_pcm(3 * F, ch, depth,
+                            seed=depth * 10 + ch if seed is None else seed)
+        key = (depth, ch)
+        if key not in decs:
+            decs[key] = JaxBatchDecoder(cfg)
+        pkts = encode_packets(cfg, spec, pcm)
+        want = [oracle(cfg, p)[0] for p in pkts]
+        batch = [pkts[i % len(pkts)] for i in range(B)]
+        tc = time.time()
+        got = decs[key].decode_packets(batch)
+        ok = all(g == want[i % len(want)] for i, g in enumerate(got))
+        results.append({"name": name, "depth": depth, "ch": ch, "B": B,
+                        "ok": bool(ok), "s": round(time.time() - tc, 1)})
+        print(f"{'ok  ' if ok else 'FAIL'} {name:10s} d{depth:<2d} c{ch} "
+              f"B={B:<4d} {time.time()-tc:6.1f}s", flush=True)
+        flush_artifact()
+
+    # ---- main matrix: every depth x channel count through LB=1024 ----
+    for depth in (16, 20, 24, 32):
+        for ch in (1, 2, 3, 4, 5, 6, 7, 8):
+            run("std", depth, ch, EncoderSpec())
+            if args.quick:
+                break
+        if args.quick:
+            break
+
+    # ---- spec variants (element/predictor/shift paths) ----
+    specs = [
+        (EncoderSpec(mix_res=0), "mix0"),
+        (EncoderSpec(escape=True), "esc"),
+        (EncoderSpec(bytes_shifted=1), "bs1"),
+        (EncoderSpec(bytes_shifted=2), "bs2"),
+        (EncoderSpec(channel=ChannelSpec(order=0)), "o0"),
+        (EncoderSpec(channel=ChannelSpec(order=31)), "o31"),
+        (EncoderSpec(channel=ChannelSpec(order=12, mode=1)), "o12m1"),
+        (EncoderSpec(channel=ChannelSpec(order=30)), "o30"),
+        (EncoderSpec(mix_res=-3, mix_bits=2), "mixneg"),
+    ]
+    for spec, name in specs:
+        for depth in (16, 24, 32):
+            run(name, depth, 2, spec)
+            if args.quick:
+                break
+        if args.quick:
+            break
+
+    # ---- content regimes ----
+    run("partial", 16, 2, EncoderSpec(), pcm=music_pcm(3 * F - 37, 2, 16, seed=5))
+    run("silence", 16, 2, EncoderSpec(), pcm=np.zeros((3 * F, 2), dtype=np.int64))
+    run("noise", 16, 2, EncoderSpec(),
+        pcm=music_pcm(3 * F, 2, 16, seed=6, tonality=0.0))
+
+    # ---- lane-block sweep: every LB the dispatcher can pick, plus ragged
+    # batches that exercise lane padding (B=300 -> LB=128, pad to 384;
+    # B=520 -> LB=128, pad to 640) ----
+    for B in (128, 256, 512, 300, 520):
+        run("lb", 16, 2, EncoderSpec(), B=B)
+        if args.quick:
+            break
+
+    fails = sum(not r["ok"] for r in results)
+    print(f"{'PASS' if fails == 0 else 'FAIL'}: {fails}/{len(results)} failures "
+          f"in {time.time()-t0:.0f}s on {device}", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -42,7 +42,7 @@ from .errors import (
     UnsupportedVersion,
 )
 from .formats import ALAC_BIT_DEPTHS, PCMFormat, bytes_per_sample
-from .service import DecodedFile, decode_corpus
+from .service import DecodedFile, decode_corpus, iter_decode_corpus
 
 __version__ = "0.1.0"
 
@@ -67,6 +67,7 @@ __all__ = [
     "UnsupportedVersion",
     "bytes_per_sample",
     "decode_corpus",
+    "iter_decode_corpus",
     "decode_file",
     "demux_stream",
     "new_decoder",

@@ -105,6 +105,31 @@ class BatchDecoder:
             return self._decode_native(packets)
         return self._jax().decode_packets(packets)
 
+    def decode_async(self, packets: Sequence[bytes]):
+        """Dispatch a batch without blocking; pass the returned handle to
+        :meth:`finish_async` to materialize per-packet PCM bytes.
+
+        On the device path the handle wraps in-flight device arrays, so
+        callers can keep several batches in flight and overlap host packing
+        with device compute (the corpus service does).  Host backends decode
+        eagerly and the handle is just the finished result.
+        """
+        if not packets:
+            return ("sync", [])
+        if self.backend in ("scalar", "native"):
+            return ("sync", self.decode_packets(packets))
+        impl = self._jax()
+        if hasattr(impl, "decode_async"):
+            return ("jax", impl.decode_async(packets))
+        return ("sync", impl.decode_packets(packets))
+
+    def finish_async(self, handle, packets: Sequence[bytes]) -> list[bytes]:
+        """Materialize a :meth:`decode_async` handle into PCM byte strings."""
+        kind, payload = handle
+        if kind == "sync":
+            return payload
+        return self._jax().finish_async(payload, packets)
+
     def _decode_native(self, packets: Sequence[bytes]) -> list[bytes]:
         """Threaded host batch decode via the C++ core; per-packet scalar
         fallback reproduces the oracle's exact error surface."""

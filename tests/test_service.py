@@ -6,7 +6,7 @@ import numpy as np
 
 from saprobe_alac_tpu.encoder import EncoderSpec, build_m4a, encode_packets
 from saprobe_alac_tpu.caf import build_caf
-from saprobe_alac_tpu.service import decode_corpus
+from saprobe_alac_tpu.service import decode_corpus, iter_decode_corpus
 
 from conftest import expected_pcm_bytes, make_config, music_pcm
 
@@ -39,3 +39,30 @@ def test_corpus_order_preserved_native():
     results = decode_corpus([f for f, _, _ in files], backend="native")
     for res, (_, pcm, depth) in zip(results, files):
         assert res.pcm == expected_pcm_bytes(pcm, depth)
+
+
+def test_corpus_iter_windowed_streaming():
+    """Iterator yields every file exactly once (completion order) with a
+    small batch window and a single in-flight batch."""
+    files = [make_file(16, 2, 128, 200 + 17 * i, seed=20 + i) for i in range(8)]
+    seen = {}
+    for res in iter_decode_corpus(
+        [f for f, _, _ in files], backend="jax", batch_size=3, inflight=1
+    ):
+        assert res.index not in seen
+        seen[res.index] = res
+    assert sorted(seen) == list(range(len(files)))
+    for i, (_, pcm, depth) in enumerate(files):
+        assert seen[i].pcm == expected_pcm_bytes(pcm, depth)
+
+
+def test_corpus_file_spanning_many_batches():
+    """A single file larger than the batch window streams through in order."""
+    files = [make_file(16, 1, 64, 64 * 40, seed=31)]
+    (res,) = decode_corpus([f for f, _, _ in files], backend="jax", batch_size=8)
+    _, pcm, depth = files[0]
+    assert res.pcm == expected_pcm_bytes(pcm, depth)
+
+
+def test_corpus_empty():
+    assert decode_corpus([]) == []
