@@ -254,6 +254,26 @@ def main() -> int:
     x_dc = audio_seconds / per_batch_dc
     log(f"device compute (pre-staged): {per_batch_dc*1e3:.1f} ms/batch -> {x_dc:.0f}x realtime")
 
+    # Overlap accounting: how close is sustained e2e to the hard ceiling set
+    # by the measured link and the measured compute?  (The sandbox tunnel is
+    # ~100-1000x slower than production PCIe, so e2e here is link-bound by
+    # construction; this quantifies how much of the remaining gap is overlap
+    # loss vs physics.)  The PCIe projection applies the same arithmetic at
+    # a production link rate.
+    bytes_in = wbuf.nbytes + sbuf.nbytes
+    bytes_out = BATCH * FRAME * 2 * 2  # 16-bit stereo PCM
+    t_link = bytes_in / (h2d * 1e6) + bytes_out / (d2h * 1e6)
+    link_bound_x = audio_seconds / t_link
+    bound_x = min(link_bound_x, x_dc)
+    overlap_eff = x_e2e / bound_x
+    pcie = 10e9  # bytes/s per direction, conservative Gen4 x8
+    pcie_bound_x = audio_seconds / (bytes_in / pcie + bytes_out / pcie)
+    log(
+        f"link-bound ceiling: {link_bound_x:.0f}x; overlap efficiency "
+        f"{overlap_eff:.2f}; PCIe(10GB/s) projection: "
+        f"{min(pcie_bound_x, x_dc):.0f}x realtime"
+    )
+
     print(
         json.dumps(
             {
@@ -268,6 +288,9 @@ def main() -> int:
                 "e2e_x_realtime": round(x_e2e, 1),
                 "link_h2d_MBps": round(h2d, 1),
                 "link_d2h_MBps": round(d2h, 1),
+                "link_bound_x_realtime": round(link_bound_x, 1),
+                "overlap_efficiency": round(overlap_eff, 3),
+                "pcie_projected_x_realtime": round(min(pcie_bound_x, x_dc), 1),
                 "batch": BATCH,
             }
         )

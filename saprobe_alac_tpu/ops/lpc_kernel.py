@@ -86,7 +86,7 @@ def _wsel(regs, j):
 
 
 def _lpc_kernel(
-    res_ref,  # (F_pad, L) HBM (ANY): residual rows (post mode pre-pass)
+    res_ref,  # (F_pad, NB, SL, 128) HBM (ANY): residual rows (post mode pre-pass)
     fir_ref,  # (1, SL, 128) is_fir mask
     order_ref,
     den_ref,
@@ -94,9 +94,9 @@ def _lpc_kernel(
     ns_ref,
     wrap_ref,
     coefs_ref,  # (_TAPS, LB): transposed per-lane coefficients
-    out_ref,  # (F_pad, L) OUTPUT in HBM (ANY)
-    res_stage,  # VMEM (CHUNK, LB): input chunk staging
-    stage_ref,  # VMEM (CHUNK, LB): output chunk staging
+    out_ref,  # (F_pad, NB, SL, 128) OUTPUT in HBM (ANY)
+    res_stage,  # VMEM (CHUNK, SL, 128): input chunk staging
+    stage_ref,  # VMEM (CHUNK, SL, 128): output chunk staging
     in_sem,
     dma_sem,
     *,
@@ -105,7 +105,7 @@ def _lpc_kernel(
     interpret: bool,
 ):
     SL = LB // 128
-    lane0 = pl.multiple_of(pl.program_id(0) * LB, LB)
+    pid = pl.program_id(0)  # at body top: DMA index expressions need it
 
     def vec(x):
         return x.reshape(SL, 128)
@@ -138,8 +138,7 @@ def _lpc_kernel(
     NCH = F // _CHUNK  # F is a multiple of _CHUNK (F_pad)
 
     def row_step(t, delta, hist_arr, coefs_arr):
-        """One sample: returns (out_row, hist', coefs').  Shared by the
-        unrolled TPU driver and the fori interpret driver below."""
+        """One sample: returns (out_row, hist', coefs')."""
         hist = [hist_arr[k] for k in range(_TAPS)]
         coefs = [coefs_arr[k] for k in range(_TAPS)]
         # Scalar-vs-vector compares make Mosaic materialize scalar i1
@@ -196,34 +195,38 @@ def _lpc_kernel(
         # Residuals live in HBM (a VMEM-blocked input would double-buffer
         # F_pad*LB*4 bytes and overflow VMEM); DMA one chunk at a time.
         dma_in = pltpu.make_async_copy(
-            res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pl.ds(lane0, LB)], res_stage, in_sem
+            res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid], res_stage, in_sem
         )
         dma_in.start()
         dma_in.wait()
-        chunk = res_stage[...].reshape(_CHUNK, SL, 128)
+        chunk = res_stage[...]
 
         if not interpret:
-            # Static unroll: chunk[rk] indexes with a Python int, keeping a
-            # leading dim on every reshape (Mosaic relayout constraint).
-            outs = []
+            # Static unroll: chunk[rk] indexes with a Python int, and each
+            # stage store is a static-offset (SL, 128) tile store in the
+            # register-native layout — no per-row sublane-to-lane-tile
+            # relayout.
             for rk in range(_CHUNK):
                 out_row, hist, coefs = row_step(ci * _CHUNK + rk, chunk[rk], hist, coefs)
-                outs.append(out_row)
-            stage_ref[...] = jnp.stack(outs).reshape(_CHUNK, LB)
+                stage_ref[pl.ds(rk, 1)] = out_row[None]
         else:
-            # Interpreter driver: a fori keeps the emulated graph small.
+            # Interpreter driver: identical per-row math (row_step is the
+            # single shared implementation; the hardware driver above only
+            # unrolls the loop), but a fori keeps the emulated graph small —
+            # the unrolled form interprets ~5x slower.  The hardware driver
+            # itself is pinned on the real chip by hack/sweep_tpu.py.
             def rbody(rk, st):
                 hist, coefs = st
                 delta = jax.lax.dynamic_index_in_dim(chunk, rk, 0, keepdims=False)
                 out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
-                stage_ref[rk, :] = out_row.reshape(LB)
+                stage_ref[pl.ds(rk, 1)] = out_row[None]
                 return hist, coefs
 
             hist, coefs = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs))
 
         dma = pltpu.make_async_copy(
             stage_ref,
-            out_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pl.ds(lane0, LB)],
+            out_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid],
             dma_sem,
         )
         dma.start()
@@ -265,16 +268,16 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
             pl.BlockSpec((_TAPS, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((F_pad, L), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((F_pad, nblocks, SL, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((_CHUNK, LB), jnp.int32),
-            pltpu.VMEM((_CHUNK, LB), jnp.int32),
+            pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),
+            pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
-        res_t,
+        res_t.reshape(F_pad, nblocks, SL, 128),
         lanes(is_fir.astype(jnp.int32)),
         lanes(order),
         lanes(den),
@@ -283,4 +286,6 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
         lanes(wrap16.astype(jnp.int32)),
         coefs_t,
     )
-    return out
+    # (F_pad, NB, SL, 128) -> (F_pad, L): minor-dim collapse, columns are
+    # already in block-major lane order (lane = nb*LB + s*128 + l).
+    return out.reshape(F_pad, L)
