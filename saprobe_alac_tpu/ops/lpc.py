@@ -119,7 +119,8 @@ def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
 
         res_t = jnp.zeros((F_pad, L_pad), I32)
         res_t = jax.lax.dynamic_update_slice(res_t, padL(res).T, (0, 0))
-        out_t = lpc_fir_pallas(
+        coefs_t = padL(coefs).T  # (32, L_pad)
+        kargs = (
             res_t,
             padL(is_fir),
             padL(order),
@@ -127,10 +128,17 @@ def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
             padL(jnp.maximum(cb, 1)),
             padL(ns),
             padL(wrap16),
-            padL(coefs).T,
-            F=F_pad,
-            LB=LB,
-            interpret=impl == "pallas_interpret",
+        )
+        kw = dict(F=F_pad, LB=LB, interpret=impl == "pallas_interpret")
+
+        # Real encoders sit at orders 4-8 (the reference hand-unrolls
+        # exactly those, predictor.go:99-618); a 9-tap kernel variant runs
+        # ~3x fewer tap ops.  Dispatch on-device per batch — no host sync.
+        max_fir = jnp.max(jnp.where(is_fir, order, 0))
+        out_t = jax.lax.cond(
+            max_fir <= 8,
+            lambda: lpc_fir_pallas(*kargs, coefs_t[:9], taps=9, **kw),
+            lambda: lpc_fir_pallas(*kargs, coefs_t, taps=32, **kw),
         )
         fir_out = out_t[:F, :L].T
         return jnp.where(is_fir[:, None], fir_out, out0)

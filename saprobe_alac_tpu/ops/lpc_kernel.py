@@ -102,6 +102,7 @@ def _lpc_kernel(
     *,
     F: int,
     LB: int,
+    taps: int,
     interpret: bool,
 ):
     SL = LB // 128
@@ -124,34 +125,38 @@ def _lpc_kernel(
     # (rows, LB) -> (rows, SL, 128) is a minor-dim split Mosaic lowers
     # cleanly, whereas a (1, LB) -> (SL, 128) row reshape is an invalid
     # relayout.  Rows within a chunk unroll statically.
-    coefs0 = coefs_ref[...].reshape(_TAPS, SL, 128)
+    coefs0 = coefs_ref[...].reshape(taps, SL, 128)
     # Per-tap static masks/weights: tap k active iff k < order.
-    tmask = [(order > k).astype(I32) for k in range(_TAPS)]
-    weight = [order - k for k in range(_TAPS)]
+    tmask = [(order > k).astype(I32) for k in range(taps)]
+    weight = [order - k for k in range(taps)]
 
     # History and coefficients are carried as single (32, SL, 128) arrays —
     # Mosaic fails layout unification ("invalid relayout ... replicated in
     # destination") when 32 separate registers rotate through a fori carry,
     # but a stacked array carry lowers cleanly; rows unpack statically.
-    hist0 = jnp.zeros((_TAPS, SL, 128), I32)
+    hist0 = jnp.zeros((taps, SL, 128), I32)
 
     NCH = F // _CHUNK  # F is a multiple of _CHUNK (F_pad)
 
     def row_step(t, delta, hist_arr, coefs_arr):
         """One sample: returns (out_row, hist', coefs')."""
-        hist = [hist_arr[k] for k in range(_TAPS)]
-        coefs = [coefs_arr[k] for k in range(_TAPS)]
+        hist = [hist_arr[k] for k in range(taps)]
+        coefs = [coefs_arr[k] for k in range(taps)]
         # Scalar-vs-vector compares make Mosaic materialize scalar i1
         # broadcasts ("unsupported target bitwidth for truncation"); keep the
         # sample index as a vector.
         tv = jnp.zeros((SL, 128), I32) + t
         active = (is_fir == 1) & (tv < ns) & (tv >= 1)
 
-        top = _wsel(hist, order)
+        # top = out[t-1-order]: order can equal taps-1's +1 neighbor, so
+        # the select list is hist padded to the next power of two (padding
+        # is never selected: the dispatch guarantees order <= taps-1).
+        pad_n = (1 << max(taps - 1, 1).bit_length()) - taps
+        top = _wsel(hist + [jnp.zeros((SL, 128), I32)] * pad_n, order)
 
         # Prediction (predictor.go:647-656): wrapping int32 dot.
         acc = jnp.zeros((SL, 128), I32)
-        for k in range(_TAPS):
+        for k in range(taps):
             acc = acc + coefs[k] * (hist[k] - top) * tmask[k]
         sum1 = _sshr_v(acc + den_half, den)
 
@@ -166,19 +171,19 @@ def _lpc_kernel(
         adapt_base = active & (sign != 0) & ~warm
         contribs = []
         sgns = []
-        for k in range(_TAPS):
+        for k in range(taps):
             dd = top - hist[k]
             sg = _sign(dd) * sign
             contribs.append(weight[k] * _sshr_v(sg * dd, den) * tmask[k])
             sgns.append(sg)
         # Exclusive suffix sums over taps (walk order k = order-1 .. 0).
         T = jnp.zeros((SL, 128), I32)
-        Ts = [None] * _TAPS
-        for k in range(_TAPS - 1, -1, -1):
+        Ts = [None] * taps
+        for k in range(taps - 1, -1, -1):
             Ts[k] = T
             T = T + contribs[k]
         newcoefs = []
-        for k in range(_TAPS):
+        for k in range(taps):
             del0 = delta - Ts[k]
             # select between int32 masks, not i1 vectors (Mosaic truncation)
             run = jnp.where(sign > 0, (del0 > 0).astype(I32), (del0 < 0).astype(I32))
@@ -187,7 +192,7 @@ def _lpc_kernel(
             newc = jnp.where(wrap16 == 1, _sext16(newc), newc)
             newcoefs.append(jnp.where(adapt, newc, coefs[k]))
 
-        hist_arr = jnp.concatenate([out_row[None], hist_arr[: _TAPS - 1]], axis=0)
+        hist_arr = jnp.concatenate([out_row[None], hist_arr[: taps - 1]], axis=0)
         return out_row, hist_arr, jnp.stack(newcoefs)
 
     def chunk_body(ci, st):
@@ -236,8 +241,8 @@ def _lpc_kernel(
     jax.lax.fori_loop(0, NCH, chunk_body, (hist0, coefs0))
 
 
-@functools.partial(jax.jit, static_argnames=("F", "LB", "interpret"))
-def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=512, interpret=False):
+@functools.partial(jax.jit, static_argnames=("F", "LB", "taps", "interpret"))
+def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=512, taps=_TAPS, interpret=False):
     """FIR reconstruction over transposed (F_pad, L) residuals.
 
     Returns out_t (F_pad, L); rows of non-FIR or t >= ns lanes carry the
@@ -248,7 +253,8 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
     SL = LB // 128
     nblocks = L // LB
 
-    kern = functools.partial(_lpc_kernel, F=F_pad, LB=LB, interpret=interpret)
+    assert taps in (9, _TAPS) and coefs_t.shape[0] == taps
+    kern = functools.partial(_lpc_kernel, F=F_pad, LB=LB, taps=taps, interpret=interpret)
     lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def lanes(x):
@@ -265,7 +271,7 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
             lane_spec,
             lane_spec,
             lane_spec,
-            pl.BlockSpec((_TAPS, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((taps, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((F_pad, nblocks, SL, 128), jnp.int32),

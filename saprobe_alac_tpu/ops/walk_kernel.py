@@ -141,24 +141,29 @@ def _dense_kernel(
     ns_ref,  # (SL, 128)
     sizebits_ref,  # (SL, 128)
     mb_ref,  # (SL, 128)
-    rows_ref,  # (F_pad, B) OUTPUT in HBM (ANY): dense residual rows
+    rows_ref,  # (F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY): dense rows
     bitpos_out,  # (SL, 128)
     err_out,  # (SL, 128)
     chunk_ref,  # VMEM scratch (_CHUNK_WORDS, LB): streaming window over words
     l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
     win_ref,  # VMEM scratch (_NWIN*SL, 128): current 32-word window
-    stage_ref,  # VMEM scratch (_K_ROWS, LB): row staging for one group
+    stage_a,  # VMEM scratch (_K_ROWS, SL, 128): staging, even groups
+    stage_b,  # VMEM scratch (_K_ROWS, SL, 128): staging, odd groups
     words_sem,
-    dma_sem,  # DMA semaphore
+    dma_a,  # DMA semaphore, even groups
+    dma_b,  # DMA semaphore, odd groups
     *,
     kb: int,
     F: int,
     W_pad: int,
     LB: int,
+    interpret: bool = False,
+    probe: str = "",
 ):
     SL = LB // 128
     NB = W_pad // _BLK  # block rows in the stream
-    lane0 = pl.multiple_of(pl.program_id(0) * LB, LB)
+    pid = pl.program_id(0)  # at body top: DMA index expressions need it
+    lane0 = pl.multiple_of(pid * LB, LB)
     wb_mask = (1 << kb) - 1 if kb < 32 else -1
 
     def vec(x):
@@ -175,7 +180,9 @@ def _dense_kernel(
     # Inactive lanes keep bitpos; guard against negative cursors up front.
     act = act0 * (ns > 0).astype(I32)
 
-    NR = pl.cdiv(F, _K_ROWS)  # staged row groups
+    # Staged row groups, rounded to a PAIR (matches the F_pad rounding in
+    # the wrapper: the group loop runs two groups per iteration).
+    NR = 2 * pl.cdiv(F, 2 * _K_ROWS)
 
     # ---- initial L1 fill + loop state ----
     bi0 = _sshr(bitpos, 8)  # window block index
@@ -282,7 +289,7 @@ def _dense_kernel(
         return _mix(a, b, rr)
 
     # ---- main loop over staged row groups ----
-    def group_body(g, st):
+    def one_group(g, st, stage, sem, not_first):
         act, off, err, count, mean, zmode, zrem, base, sb = st
 
         # Group-level data-dependent window refresh: ONE cross-lane
@@ -294,6 +301,8 @@ def _dense_kernel(
         # _WORST bits.  Music-like streams (~25-30 bits/row) refresh every
         # ~2 groups instead of every group (the old worst-case budget).
         needw = jnp.any((act == 1) & (off >= _GROUP_AT))
+        if "norefill" in probe:  # probe: cost of refresh checks + refills
+            needw = jnp.bool_(False)
         bitpos_cur = base + off
         bi = _sshr(bitpos_cur, 8)
         need_l1 = needw & jnp.any(
@@ -322,11 +331,13 @@ def _dense_kernel(
             all three window reads of a row (start, escape at +9,
             zero-run at +nbits<=41 then +25 bits: every consumer stays
             within 4 words)."""
+            if "nofetch" in probe:  # probe: cost of the select trees
+                return [ws[0], ws[1], ws[2], ws[3]], off & 31
             j = _sshr(off, 5)
             return [_wsel(wtab[i], j) for i in range(4)], off & 31
 
         def row_body(k, rst):
-            act, off, err, count, mean, zmode, zrem = rst
+            (act, off, err, count, mean, zmode, zrem) = rst
 
             off_row0 = off
 
@@ -367,7 +378,11 @@ def _dense_kernel(
             delta = _s(jax.lax.shift_right_logical(_u(nd + 1), U32(1))) * mult
 
             # Dense emission: decoded delta, drained zero, or dummy zero.
-            stage_ref[k, :] = jnp.where(dec == 1, delta, 0).reshape(LB)
+            # Stored in the register-native (SL, 128) tile layout — a flat
+            # (LB,) row store would stripe one register's sublanes across
+            # lane-tiles at a single sublane, a per-row relayout shuffle.
+            if "nostore" not in probe:  # probe: cost of the staging store
+                stage[pl.ds(k, 1)] = jnp.where(dec == 1, delta, 0)[None]
 
             count = count + ((dec == 1) | (zdrain == 1)).astype(I32)
             off = jnp.where(dec == 1, off + nbits, off)
@@ -384,53 +399,80 @@ def _dense_kernel(
             mean = jnp.where(dec == 1, mean_n, mean)
             zmode = jnp.where(dec == 1, 0, zmode)
 
-            # Zero-run trigger (golomb.go:223-246); (mean<<2) < 512 unsigned.
-            zc = (dec == 1) & (_u(_shl(mean, 2)) < 512) & (count < ns)
-            k32 = jnp.maximum(
-                _clz(mean) - 24 + _s(jax.lax.shift_right_logical(_u(mean + 16), U32(6))), 0
-            )
-            mz = (_shl(jnp.ones_like(k32), k32) - 1) & wb_mask
+            if "nozrun" not in probe:  # probe: cost of the zero-run secondary decode
+                # Zero-run trigger (golomb.go:223-246); (mean<<2) < 512 unsigned.
+                zc = (dec == 1) & (_u(_shl(mean, 2)) < 512) & (count < ns)
+                k32 = jnp.maximum(
+                    _clz(mean) - 24 + _s(jax.lax.shift_right_logical(_u(mean + 16), U32(6))), 0
+                )
+                mz = (_shl(jnp.ones_like(k32), k32) - 1) & wb_mask
 
-            # off has advanced by nbits (<= 41) for dec lanes; still in w4.
-            zwin = win_at(w4, r0, off - off_row0)
-            zpre = _clz(~zwin)
-            z_esc = zpre >= 9
-            zval_esc = _ushr(_shl(zwin, 9), 16)
-            zwin2 = _shl(zwin, zpre + 1)
-            zv = _ushr(zwin2, 32 - jnp.maximum(k32, 1))
-            zv = jnp.where(k32 == 0, 0, zv)
-            zvbig = zv >= 2
-            zrun = jnp.where(z_esc, zval_esc, jnp.where(zvbig, zpre * mz + zv - 1, zpre * mz))
-            zbits = jnp.where(z_esc, 25, zpre + 1 + jnp.where(zvbig, k32, k32 - 1))
+                # off has advanced by nbits (<= 41) for dec lanes; still in w4.
+                zwin = win_at(w4, r0, off - off_row0)
+                zpre = _clz(~zwin)
+                z_esc = zpre >= 9
+                zval_esc = _ushr(_shl(zwin, 9), 16)
+                zwin2 = _shl(zwin, zpre + 1)
+                zv = _ushr(zwin2, 32 - jnp.maximum(k32, 1))
+                zv = jnp.where(k32 == 0, 0, zv)
+                zvbig = zv >= 2
+                zrun = jnp.where(z_esc, zval_esc, jnp.where(zvbig, zpre * mz + zv - 1, zpre * mz))
+                zbits = jnp.where(z_esc, 25, zpre + 1 + jnp.where(zvbig, k32, k32 - 1))
 
-            zover = zc & (count + zrun > ns)
-            err = jnp.where(zover, ERR_SAMPLES, err)
-            act = act * (1 - zover.astype(I32))
-            zc = zc & ~zover
+                zover = zc & (count + zrun > ns)
+                err = jnp.where(zover, ERR_SAMPLES, err)
+                act = act * (1 - zover.astype(I32))
+                zc = zc & ~zover
 
-            zrem = jnp.where(zc, zrun, zrem)
-            off = jnp.where(zc, off + zbits, off)
-            zmode = jnp.where(zc, jnp.where(zrun >= 65535, 0, 1), zmode)
-            mean = jnp.where(zc, 0, mean)
+                zrem = jnp.where(zc, zrun, zrem)
+                off = jnp.where(zc, off + zbits, off)
+                zmode = jnp.where(zc, jnp.where(zrun >= 65535, 0, 1), zmode)
+                mean = jnp.where(zc, 0, mean)
 
             act = act * (count < ns).astype(I32) * (err == ERR_NONE).astype(I32)
             return act, off, err, count, mean, zmode, zrem
 
+        # A synchronous per-group start+wait stalls ~40% of the kernel; the
+        # copy of the SAME slot two groups back must be done before this
+        # group's stores reuse the buffer, so wait for it here (a full
+        # group's compute has elapsed since it started) and kick the new
+        # copy off unwaited below.  (Interpret mode emulates copies
+        # synchronously — a deferred wait spins — so it waits inline below.)
+        if "nodma" not in probe and not interpret:  # probe: per-group DMA cost
+
+            @pl.when(not_first)
+            def _():
+                pltpu.make_async_copy(
+                    stage, rows_ref.at[pl.ds(g * _K_ROWS, _K_ROWS), pid], sem
+                ).wait()
+
+        # fori, not a static unroll: measured identical on hardware (Mosaic
+        # schedules across the loop), and unrolling interprets ~3x slower.
         rst = (act, off, err, count, mean, zmode, zrem)
         act, off, err, count, mean, zmode, zrem = jax.lax.fori_loop(
             0, _K_ROWS, row_body, rst
         )
 
         # Stream the staged rows to HBM at the uniform row offset (rows_ref
-        # is the FULL (F_pad, B) array in HBM: ANY-space blocks cannot be
-        # lane-partitioned, so the kernel addresses its lane range itself).
-        dma = pltpu.make_async_copy(
-            stage_ref, rows_ref.at[pl.ds(g * _K_ROWS, _K_ROWS), pl.ds(lane0, LB)], dma_sem
-        )
-        dma.start()
-        dma.wait()
+        # is the FULL (F_pad, NB, SL, 128) array in HBM: ANY-space blocks
+        # cannot be lane-partitioned, so the kernel addresses its own lane
+        # block (dim 1) itself).
+        if "nodma" not in probe:
+            dma = pltpu.make_async_copy(
+                stage, rows_ref.at[pl.ds(g * _K_ROWS, _K_ROWS), pid], sem
+            )
+            dma.start()
+            if interpret:
+                dma.wait()
 
         return act, off, err, count, mean, zmode, zrem, base, sb
+
+    def group_pair(gp, st):
+        # Two groups per iteration with statically alternating buffers and
+        # semaphores (dynamic semaphore indexing does not lower).
+        st = one_group(2 * gp, st, stage_a, dma_a, gp > 0)
+        st = one_group(2 * gp + 1, st, stage_b, dma_b, gp > 0)
+        return st
 
     st = (
         act,
@@ -444,8 +486,18 @@ def _dense_kernel(
         sb0,
     )
     act, off, err, count, mean, zmode, zrem, base, sb = jax.lax.fori_loop(
-        0, NR, group_body, st
+        0, NR // 2, group_pair, st
     )
+
+    # Drain the two in-flight copies (descriptor offsets name the last pair;
+    # only the semaphore + transfer size matter for the wait).
+    if "nodma" not in probe and not interpret:
+        pltpu.make_async_copy(
+            stage_a, rows_ref.at[pl.ds((NR - 2) * _K_ROWS, _K_ROWS), pid], dma_a
+        ).wait()
+        pltpu.make_async_copy(
+            stage_b, rows_ref.at[pl.ds((NR - 1) * _K_ROWS, _K_ROWS), pid], dma_b
+        ).wait()
 
     # Lanes still active after NR groups decoded every row; lanes that died
     # with an error keep their code.  (The XLA walk's divergence guard is not
@@ -454,9 +506,9 @@ def _dense_kernel(
     err_out[...] = err.reshape(bitpos_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("kb", "F", "LB", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kb", "F", "LB", "interpret", "probe"))
 def dense_entropy_pallas(
-    words_t, bitpos, act, pb_local, max_size, ns, size_bits, mb, *, kb, F, LB=512, interpret=False
+    words_t, bitpos, act, pb_local, max_size, ns, size_bits, mb, *, kb, F, LB=512, interpret=False, probe=""
 ):
     """Run the dense-emission kernel over a lane-blocked grid.
 
@@ -474,10 +526,14 @@ def dense_entropy_pallas(
         )
         W_pad += pad_rows
     SL = LB // 128
-    F_pad = ((F + _K_ROWS - 1) // _K_ROWS) * _K_ROWS
+    # Rounded to a PAIR of groups: the group loop runs two at a time
+    # (double-buffered staging).
+    F_pad = ((F + 2 * _K_ROWS - 1) // (2 * _K_ROWS)) * (2 * _K_ROWS)
     nblocks = B // LB
 
-    kern = functools.partial(_dense_kernel, kb=kb, F=F, W_pad=W_pad, LB=LB)
+    kern = functools.partial(
+        _dense_kernel, kb=kb, F=F, W_pad=W_pad, LB=LB, interpret=interpret, probe=probe
+    )
 
     # Lane-vector blocks: 3-D (nblocks, SL, 128) with the grid on dim 0 so
     # the trailing dims equal the array dims (Mosaic's block constraint).
@@ -505,7 +561,7 @@ def dense_entropy_pallas(
             lane_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((F_pad, B), jnp.int32),
+            jax.ShapeDtypeStruct((F_pad, nblocks, SL, 128), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
         ],
@@ -513,7 +569,9 @@ def dense_entropy_pallas(
             pltpu.VMEM((_CHUNK_WORDS, LB), jnp.int32),
             pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
             pltpu.VMEM((_NWIN * SL, 128), jnp.int32),
-            pltpu.VMEM((_K_ROWS, LB), jnp.int32),
+            pltpu.VMEM((_K_ROWS, SL, 128), jnp.int32),
+            pltpu.VMEM((_K_ROWS, SL, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -528,4 +586,6 @@ def dense_entropy_pallas(
         lanes(size_bits),
         lanes(mb),
     )
-    return rows, bitpos2.reshape(B), err.reshape(B)
+    # (F_pad, NB, SL, 128) -> (F_pad, B): minor-dim collapse, columns are
+    # already in block-major lane order (lane = nb*LB + s*128 + l).
+    return rows.reshape(F_pad, B), bitpos2.reshape(B), err.reshape(B)
