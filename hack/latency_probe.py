@@ -66,7 +66,7 @@ def main() -> int:
     stages = {"pack": 0.0, "upload": 0.0, "execute": 0.0, "download": 0.0, "bytes": 0.0}
     for _ in range(args.iters):
         t = time.perf_counter()
-        words, sizes = dec._stage(batch)
+        words, sizes, swapped = dec._stage(batch)
         stages["pack"] += time.perf_counter() - t
 
         t = time.perf_counter()
@@ -79,6 +79,7 @@ def main() -> int:
         handle = _decode_batch(
             jw, js, cfg.frame_length, cfg.num_channels, cfg.bit_depth,
             cfg.pb, cfg.mb, cfg.kb, _walk_mod._IMPL, _lpc_mod._IMPL,
+            pre_swapped=swapped,
         )
         jax.block_until_ready(handle)
         stages["execute"] += time.perf_counter() - t

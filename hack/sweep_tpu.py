@@ -81,6 +81,22 @@ def main() -> int:
     ).stdout.strip()
 
     results = []
+    done = set()
+    if ART.exists():
+        try:
+            prior = json.loads(ART.read_text())
+            if prior.get("git") and prior.get("frame_length") == F:
+                for r in prior.get("results", []):
+                    if r.get("ok"):
+                        # Tag carried-over greens with the rev they ran at
+                        # (a changed kernel invalidates nothing silently —
+                        # the artifact names each result's revision).
+                        results.append(dict(r, git=r.get("git", prior["git"])))
+                        done.add((r["name"], r["depth"], r["ch"], r["B"]))
+                print(f"resuming: {len(done)} configs already green "
+                      f"(from rev {prior['git']})", flush=True)
+        except Exception as e:
+            print(f"ignoring unreadable prior artifact: {e}", flush=True)
     decs = {}
     t0 = time.time()
 
@@ -99,6 +115,8 @@ def main() -> int:
         }, indent=1) + "\n")
 
     def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None):
+        if (name, depth, ch, B) in done:
+            return
         cfg = make_config(depth=depth, channels=ch, frame_length=F)
         if pcm is None:
             pcm = music_pcm(3 * F, ch, depth,
@@ -113,17 +131,22 @@ def main() -> int:
         got = decs[key].decode_packets(batch)
         ok = all(g == want[i % len(want)] for i, g in enumerate(got))
         results.append({"name": name, "depth": depth, "ch": ch, "B": B,
-                        "ok": bool(ok), "s": round(time.time() - tc, 1)})
+                        "ok": bool(ok), "s": round(time.time() - tc, 1),
+                        "git": rev})
         print(f"{'ok  ' if ok else 'FAIL'} {name:10s} d{depth:<2d} c{ch} "
               f"B={B:<4d} {time.time()-tc:6.1f}s", flush=True)
         flush_artifact()
 
     # ---- main matrix: every depth x channel count through LB=1024 ----
-    for depth in (16, 20, 24, 32):
-        for ch in (1, 2, 3, 4, 5, 6, 7, 8):
-            run("std", depth, ch, EncoderSpec())
-            if args.quick:
-                break
+    # Breadth-first: the common shapes (mono/stereo at every depth) pin the
+    # broadest coverage early — each (depth, ch) is a fresh ~5-min XLA
+    # compile through the sandbox tunnel, and the sweep is resumable, so
+    # order = value density.
+    matrix = [(d, ch) for ch in (2, 1) for d in (16, 24, 20, 32)] + [
+        (d, ch) for ch in (3, 4, 5, 6, 7, 8) for d in (16, 24, 20, 32)
+    ]
+    for depth, ch in matrix:
+        run("std", depth, ch, EncoderSpec())
         if args.quick:
             break
 

@@ -21,7 +21,7 @@ import numpy as np
 from ..codec import decode_packet as scalar_decode_packet
 from ..config import PacketConfig
 from ..formats import bytes_per_sample
-from .bitpack import pack_packets
+from .bitpack import pack_packets_device_swap
 from .epilogue import extract_escape, extract_shift, finish, pack_output
 from . import lpc as _lpc_mod
 from . import walk as _walk_mod
@@ -66,16 +66,28 @@ def _bucket(n: int, floor: int = 8) -> int:
     jax.jit,
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb",
-        "walk_impl", "lpc_impl",
+        "walk_impl", "lpc_impl", "pre_swapped",
     ),
 )
 def _decode_batch(
     words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
-    walk_impl, lpc_impl,
+    walk_impl, lpc_impl, pre_swapped=True,
 ):
     F = frame_length
     C = num_channels
     B = words.shape[0]
+
+    if not pre_swapped:
+        # Host uploaded raw little-endian words (single-core packer skips
+        # the byteswap); flip to the big-endian bit order the walk expects.
+        u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+        words = jax.lax.bitcast_convert_type(
+            jax.lax.shift_left(u, jnp.uint32(24))
+            | jax.lax.shift_left(u & jnp.uint32(0xFF00), jnp.uint32(8))
+            | (jax.lax.shift_right_logical(u, jnp.uint32(8)) & jnp.uint32(0xFF00))
+            | jax.lax.shift_right_logical(u, jnp.uint32(24)),
+            jnp.int32,
+        )
 
     w = _walk_batch(words, size_bits, F, C, depth, pb, mb, kb, walk_impl)
 
@@ -129,8 +141,11 @@ class JaxBatchDecoder:
         self._scalar_only = config.kb == 0 or not 1 <= config.frame_length <= (1 << 16)
 
     def _stage(self, packets: Sequence[bytes]):
-        """Host packing + padding to bucketed shapes."""
-        words_np, sizes_np = pack_packets(list(packets))
+        """Host packing + padding to bucketed shapes.
+
+        Returns (words, sizes, swapped): when swapped is False the words
+        are raw little-endian and _decode_batch byteswaps on device."""
+        words_np, sizes_np, swapped = pack_packets_device_swap(list(packets))
         B = len(packets)
         Bb = _bucket(B)
         Wb = _bucket(words_np.shape[1], floor=16)
@@ -138,13 +153,13 @@ class JaxBatchDecoder:
         words[:B, : words_np.shape[1]] = words_np
         sizes = np.zeros(Bb, dtype=np.int32)
         sizes[:B] = sizes_np
-        return words, sizes
+        return words, sizes, swapped
 
     def decode_async(self, packets: Sequence[bytes]):
         """Dispatch a batch; returns device arrays (packed, err, ns) without
         blocking — callers can pipeline multiple batches in flight."""
         cfg = self.config
-        words, sizes = self._stage(packets)
+        words, sizes, swapped = self._stage(packets)
         # Impl selections are read at call time so tests/sweeps flipping the
         # module globals get a fresh trace (they are static jit args).
         return _decode_batch(
@@ -158,6 +173,7 @@ class JaxBatchDecoder:
             cfg.kb,
             _walk_mod._IMPL,
             _lpc_mod._IMPL,
+            pre_swapped=swapped,
         )
 
     def _to_bytes(self, packed_row: np.ndarray, ns: int) -> bytes:

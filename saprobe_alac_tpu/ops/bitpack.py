@@ -27,6 +27,26 @@ def pack_packets(packets: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     ~240 ms for the original per-packet pad-and-join, which capped
     end-to-end throughput regardless of device speed).
     """
+    words, sizes, swapped = pack_packets_device_swap(packets)
+    if not swapped:
+        u = words.view(np.uint32)
+        if sys.byteorder == "little":
+            u.byteswap(inplace=True)
+    return words, sizes
+
+
+def pack_packets_device_swap(
+    packets: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Like :func:`pack_packets`, but allowed to defer the byteswap.
+
+    Returns (words, size_bits, swapped).  When ``swapped`` is False the
+    words are raw little-endian memory and the device program must byteswap
+    them (4 vector ops over data already in HBM — free next to the decode),
+    taking the swap off the single-core host's critical path.  The threaded
+    C++ packer builds big-endian words directly at memcpy speed, so its
+    output reports ``swapped=True``.
+    """
     batch = len(packets)
     max_len = max((len(p) for p in packets), default=0)
     w_words = (max_len + 3) // 4 + GUARD_WORDS
@@ -36,16 +56,11 @@ def pack_packets(packets: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 
     from .. import native
 
-    # The threaded C++ packer wins on multi-core hosts; on a single core
-    # numpy's bulk byteswap beats a scalar C loop.
     if os.cpu_count() and os.cpu_count() > 2 and native.available():
-        return native.pack_packets(list(packets), w_words), sizes
+        return native.pack_packets(list(packets), w_words), sizes, True
 
     width_bytes = w_words * 4
     out = np.zeros((batch, width_bytes), dtype=np.uint8)
     for i, p in enumerate(packets):
         out[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-    words = out.view(np.uint32)
-    if sys.byteorder == "little":
-        words.byteswap(inplace=True)
-    return words.view(np.int32), sizes
+    return out.view(np.uint32).view(np.int32), sizes, sys.byteorder == "big"
