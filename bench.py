@@ -260,6 +260,18 @@ def main() -> int:
     # construction; this quantifies how much of the remaining gap is overlap
     # loss vs physics.)  The PCIe projection applies the same arithmetic at
     # a production link rate.
+    # Interactive latency: a warm small-batch decode through the full
+    # public path (pack + upload + decode + download + slice).  The
+    # reference decodes one packet in ~us; this is the TPU path's unit of
+    # interactive work (the facade's prefetch batch).
+    small = batch[:32]
+    dec.decode_packets(small)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        dec.decode_packets(small)
+    lat_b32 = (time.perf_counter() - t0) / 5
+    log(f"warm B=32 decode (facade unit): {lat_b32*1e3:.1f} ms")
+
     bytes_in = wbuf.nbytes + sbuf.nbytes
     bytes_out = BATCH * FRAME * 2 * 2  # 16-bit stereo PCM
     t_link = bytes_in / (h2d * 1e6) + bytes_out / (d2h * 1e6)
@@ -290,6 +302,7 @@ def main() -> int:
                 "link_d2h_MBps": round(d2h, 1),
                 "link_bound_x_realtime": round(link_bound_x, 1),
                 "overlap_efficiency": round(overlap_eff, 3),
+                "latency_warm_b32_ms": round(lat_b32 * 1e3, 1),
                 "pcie_projected_x_realtime": round(min(pcie_bound_x, x_dc), 1),
                 "batch": BATCH,
             }
