@@ -129,21 +129,26 @@ def sustained(dispatch, consume, iters=ITERS, depth=DEPTH):
 
 def _device_watchdog(timeout_s: float) -> bool:
     """True if the device answers a trivial op within timeout (the sandbox
-    TPU sits behind a tunnel that can wedge; fail fast instead of hanging)."""
-    import threading
+    TPU sits behind a tunnel that can wedge; fail fast instead of hanging).
 
-    ok = threading.Event()
+    Probes in a SUBPROCESS: initializing the axon backend from a helper
+    thread can block inside the plugin while holding the GIL, wedging the
+    whole process — observed on this tunnel.  A child interpreter is safe
+    to abandon on timeout, and its backend session dies with it.
+    """
+    import subprocess
+    import sys
 
-    def probe():
-        import jax.numpy as jnp
-
-        jnp.ones((4,), jnp.int32).block_until_ready()
-        ok.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return ok.is_set()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "jnp.ones((4,), jnp.int32).block_until_ready(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main() -> int:

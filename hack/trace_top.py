@@ -71,7 +71,6 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     try:
         jax.config.update("jax_compilation_cache_dir", str(CACHE / "xla"))
