@@ -193,3 +193,19 @@ def test_tiny_partial_frames_device():
         )
     got = get_decoder(cfg).decode_packets(pkts)
     assert got == [oracle(cfg, p)[0] for p in pkts]
+
+
+def test_pack_packets_device_swap_parity():
+    """Deferred-byteswap packing is byte-identical to the host-swapped
+    words after one byteswap (the op _decode_batch performs on device)."""
+    import numpy as np
+
+    from saprobe_alac_tpu.ops.bitpack import pack_packets, pack_packets_device_swap
+
+    pkts = [bytes([i % 256 for i in range(n)]) for n in (1, 2, 3, 4, 5, 17, 400)]
+    ws, sz = pack_packets(pkts)
+    wd, sd, swapped = pack_packets_device_swap(pkts)
+    assert np.array_equal(sz, sd)
+    if not swapped:
+        wd = wd.view(np.uint32).byteswap().view(np.int32)
+    assert np.array_equal(ws, wd)
