@@ -108,7 +108,13 @@ def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
         from .lpc_kernel import lpc_fir_pallas
 
         F_pad = ((F + 7) // 8) * 8
-        LB = 512 if L % 512 == 0 else (256 if L % 256 == 0 else 128)
+        # Full (8, 128) vregs need 1024-lane blocks (same win as the walk
+        # kernel: half-empty vregs double the sequential grid steps).
+        LB = (
+            1024
+            if L % 1024 == 0
+            else 512 if L % 512 == 0 else (256 if L % 256 == 0 else 128)
+        )
         L_pad = ((L + LB - 1) // LB) * LB
 
         def padL(x, fill=0):

@@ -377,6 +377,61 @@ def _entropy_dense(words_t, B, size_bits, bitpos, err, res, active, cur_chan, pb
     return bitpos, err, res
 
 
+def _entropy_dense_cpe(
+    words_t, B, size_bits, bitpos, err, res, ent_u, ent_v, chan,
+    pb_u, pb_v, max_size, ns, cfg
+):
+    """Fused stereo-pair path: ONE 2-pass kernel invocation decodes the U
+    residual block and then the V block that follows it in the bitstream
+    (decoder.go:463-489 ordering) — one dispatch, one L1/window pipeline,
+    one transpose+merge, instead of two of each."""
+    from .walk_kernel import dense_entropy_pallas
+
+    F = cfg["frame_length"]
+    C = cfg["num_channels"]
+    B_pad = words_t.shape[1]
+    LB = cfg["lane_block"]
+
+    act_u = ent_u & (err == ERR_NONE)
+    act_v = ent_v & (err == ERR_NONE)
+
+    def pad(x, fill=0):
+        if B_pad == B:
+            return x
+        return jnp.concatenate([x, jnp.full((B_pad - B,), fill, x.dtype)])
+
+    rows, bp2, kerr = dense_entropy_pallas(
+        words_t,
+        pad(bitpos),
+        pad(act_u.astype(I32)),
+        pad(pb_u),
+        pad(jnp.broadcast_to(jnp.asarray(max_size, I32), (B,))),
+        pad(ns),
+        pad(size_bits),
+        pad(jnp.full((B,), cfg["mb"], I32)),
+        pad(act_v.astype(I32)),
+        pad(pb_v),
+        kb=cfg["kb"],
+        F=F,
+        LB=LB,
+        passes=2,
+        interpret=cfg["impl"] == "pallas_interpret",
+    )
+    F_pad = rows.shape[0] // 2
+    rows_t = rows.T  # (B_pad, 2*F_pad): one transpose for both channels
+    rows_u = rows_t[:B, :F]
+    rows_v = rows_t[:B, F_pad : F_pad + F]
+    kerr = kerr[:B]
+    bitpos = jnp.where(act_u, bp2[:B], bitpos)
+    err = jnp.where(act_u & (kerr != ERR_NONE), kerr, err)
+    for c in range(C):
+        seg = res[:, c * F : (c + 1) * F]
+        seg = jnp.where((act_u & (chan == c))[:, None], rows_u, seg)
+        seg = jnp.where((act_v & (chan + 1 == c))[:, None], rows_v, seg)
+        res = res.at[:, c * F : (c + 1) * F].set(seg)
+    return bitpos, err, res
+
+
 def _parse_coefs(words, p, num):
     """Read up to 32 int16 coefficients at per-lane positions; returns
     ((B, 32) coefs, new p)."""
@@ -652,12 +707,22 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
                     words_t, B, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
                 )
 
-            def run_v(args):
+            def run_uv(args):
                 bp, er, rs = args
-                return _entropy_dense(
-                    words_t, B, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
+                return _entropy_dense_cpe(
+                    words_t, B, size_bits, bp, er, rs, ent_u, ent_v, chan,
+                    pb_u, pb_v, cb_comp, ns, cfg
                 )
 
+            # Stereo pairs take the fused 2-pass kernel (the hot case: one
+            # dispatch decodes U then V); batches with no V channels this
+            # slot take the 1-pass kernel; neither -> no-op.
+            new_bitpos, err, res = jax.lax.cond(
+                jnp.any(ent_v),
+                run_uv,
+                lambda a: jax.lax.cond(jnp.any(ent_u), run_u, lambda b: b, a),
+                (new_bitpos, err, res),
+            )
         else:
 
             def run_u(args):
@@ -672,12 +737,12 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
                     words, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
                 )
 
-        new_bitpos, err, res = jax.lax.cond(
-            jnp.any(ent_u), run_u, lambda a: a, (new_bitpos, err, res)
-        )
-        new_bitpos, err, res = jax.lax.cond(
-            jnp.any(ent_v), run_v, lambda a: a, (new_bitpos, err, res)
-        )
+            new_bitpos, err, res = jax.lax.cond(
+                jnp.any(ent_u), run_u, lambda a: a, (new_bitpos, err, res)
+            )
+            new_bitpos, err, res = jax.lax.cond(
+                jnp.any(ent_v), run_v, lambda a: a, (new_bitpos, err, res)
+            )
 
         # --- Advance channel counter / done flags ---
         chan_new = chan + jnp.where(is_sce, 1, 0) + jnp.where(is_cpe, 2, 0)

@@ -141,7 +141,9 @@ def _dense_kernel(
     ns_ref,  # (SL, 128)
     sizebits_ref,  # (SL, 128)
     mb_ref,  # (SL, 128)
-    rows_ref,  # (F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY): dense rows
+    act2_ref,  # (SL, 128) pass-2 lane mask (all-zero when passes == 1)
+    pb2_ref,  # (SL, 128) pass-2 entropy tuning
+    rows_ref,  # (passes*F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY)
     bitpos_out,  # (SL, 128)
     err_out,  # (SL, 128)
     chunk_ref,  # VMEM scratch (_CHUNK_WORDS, LB): streaming window over words
@@ -157,6 +159,7 @@ def _dense_kernel(
     F: int,
     W_pad: int,
     LB: int,
+    passes: int = 1,
     interpret: bool = False,
     probe: str = "",
 ):
@@ -176,13 +179,19 @@ def _dense_kernel(
     ns = vec(ns_ref[...])
     size_bits = vec(sizebits_ref[...])
     mb0 = vec(mb_ref[...])
+    # Pass-2 lanes get the same zero-sample guard as pass 1.
+    act2v = vec(act2_ref[...]) * (vec(ns_ref[...]) > 0).astype(I32)
+    pb2 = vec(pb2_ref[...])
 
     # Inactive lanes keep bitpos; guard against negative cursors up front.
     act = act0 * (ns > 0).astype(I32)
 
     # Staged row groups, rounded to a PAIR (matches the F_pad rounding in
-    # the wrapper: the group loop runs two groups per iteration).
-    NR = 2 * pl.cdiv(F, 2 * _K_ROWS)
+    # the wrapper: the group loop runs two groups per iteration).  With
+    # passes == 2 the loop simply keeps going: rows F_pad.. hold the second
+    # channel, whose residual block follows the first in the bitstream.
+    NPAIR = pl.cdiv(F, 2 * _K_ROWS)  # group pairs per pass
+    NR = passes * 2 * NPAIR
 
     # ---- initial L1 fill + loop state ----
     bi0 = _sshr(bitpos, 8)  # window block index
@@ -290,7 +299,7 @@ def _dense_kernel(
 
     # ---- main loop over staged row groups ----
     def one_group(g, st, stage, sem, not_first):
-        act, off, err, count, mean, zmode, zrem, base, sb = st
+        act, off, err, count, mean, zmode, zrem, base, sb, pbl = st
 
         # Group-level data-dependent window refresh: ONE cross-lane
         # reduction + predicated re-select per _K_ROWS rows (scalar
@@ -465,11 +474,25 @@ def _dense_kernel(
             if interpret:
                 dma.wait()
 
-        return act, off, err, count, mean, zmode, zrem, base, sb
+        return act, off, err, count, mean, zmode, zrem, base, sb, pbl
 
     def group_pair(gp, st):
         # Two groups per iteration with statically alternating buffers and
         # semaphores (dynamic semaphore indexing does not lower).
+        if passes == 2:
+            # Channel switch at the pass boundary: reactivate the pass-2
+            # lanes (CPE right channels) at their current bit cursors with
+            # fresh entropy state and the pass-2 tuning.  Vectorize the
+            # pair index first (Mosaic scalar-vs-vector compare pitfall).
+            act, off, err, count, mean, zmode, zrem, base, sb, pbl = st
+            sw = (jnp.zeros((SL, 128), I32) + gp) == NPAIR
+            act = jnp.where(sw, act2v * (err == ERR_NONE).astype(I32), act)
+            count = jnp.where(sw, 0, count)
+            mean = jnp.where(sw, mb0, mean)
+            zmode = jnp.where(sw, 0, zmode)
+            zrem = jnp.where(sw, 0, zrem)
+            pbl = jnp.where(sw, pb2, pbl)
+            st = (act, off, err, count, mean, zmode, zrem, base, sb, pbl)
         st = one_group(2 * gp, st, stage_a, dma_a, gp > 0)
         st = one_group(2 * gp + 1, st, stage_b, dma_b, gp > 0)
         return st
@@ -484,8 +507,9 @@ def _dense_kernel(
         z,
         _shl(bi0, 8),
         sb0,
+        pbl,
     )
-    act, off, err, count, mean, zmode, zrem, base, sb = jax.lax.fori_loop(
+    act, off, err, count, mean, zmode, zrem, base, sb, pbl = jax.lax.fori_loop(
         0, NR // 2, group_pair, st
     )
 
@@ -506,14 +530,23 @@ def _dense_kernel(
     err_out[...] = err.reshape(bitpos_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("kb", "F", "LB", "interpret", "probe"))
+@functools.partial(
+    jax.jit, static_argnames=("kb", "F", "LB", "passes", "interpret", "probe")
+)
 def dense_entropy_pallas(
-    words_t, bitpos, act, pb_local, max_size, ns, size_bits, mb, *, kb, F, LB=512, interpret=False, probe=""
+    words_t, bitpos, act, pb_local, max_size, ns, size_bits, mb,
+    act2=None, pb2=None, *, kb, F, LB=512, passes=1, interpret=False, probe=""
 ):
     """Run the dense-emission kernel over a lane-blocked grid.
 
     words_t: (W_pad, B) word-major packed streams (transposed once per batch).
-    Returns (rows (F_pad, B) int32, bitpos', err).  Rows t >= ns(lane) are 0.
+    Returns (rows (passes*F_pad, B) int32, bitpos', err).  Rows t >= ns(lane)
+    are 0.  With passes=2 the kernel continues into a second channel whose
+    residual block directly follows the first (CPE U then V): lanes in
+    ``act2`` reactivate at their pass-1 end cursors with fresh entropy state
+    and ``pb2`` tuning; their rows land at F_pad + t.  One invocation, one
+    L1/window pipeline — the V stream starts exactly where U ended, so the
+    window is already resident.
     """
     W_pad, B = words_t.shape
     assert B % LB == 0, (B, LB)
@@ -531,8 +564,13 @@ def dense_entropy_pallas(
     F_pad = ((F + 2 * _K_ROWS - 1) // (2 * _K_ROWS)) * (2 * _K_ROWS)
     nblocks = B // LB
 
+    if act2 is None:
+        act2 = jnp.zeros_like(act)
+    if pb2 is None:
+        pb2 = jnp.zeros_like(pb_local)
     kern = functools.partial(
-        _dense_kernel, kb=kb, F=F, W_pad=W_pad, LB=LB, interpret=interpret, probe=probe
+        _dense_kernel, kb=kb, F=F, W_pad=W_pad, LB=LB, passes=passes,
+        interpret=interpret, probe=probe
     )
 
     # Lane-vector blocks: 3-D (nblocks, SL, 128) with the grid on dim 0 so
@@ -554,6 +592,8 @@ def dense_entropy_pallas(
             lane_spec,
             lane_spec,
             lane_spec,
+            lane_spec,
+            lane_spec,
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -561,7 +601,7 @@ def dense_entropy_pallas(
             lane_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((F_pad, nblocks, SL, 128), jnp.int32),
+            jax.ShapeDtypeStruct((passes * F_pad, nblocks, SL, 128), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
         ],
@@ -585,7 +625,9 @@ def dense_entropy_pallas(
         lanes(ns),
         lanes(size_bits),
         lanes(mb),
+        lanes(act2.astype(jnp.int32)),
+        lanes(pb2),
     )
-    # (F_pad, NB, SL, 128) -> (F_pad, B): minor-dim collapse, columns are
-    # already in block-major lane order (lane = nb*LB + s*128 + l).
-    return rows.reshape(F_pad, B), bitpos2.reshape(B), err.reshape(B)
+    # (passes*F_pad, NB, SL, 128) -> (passes*F_pad, B): minor-dim collapse,
+    # columns already in block-major lane order (lane = nb*LB + s*128 + l).
+    return rows.reshape(passes * F_pad, B), bitpos2.reshape(B), err.reshape(B)
