@@ -101,16 +101,21 @@ def measure_link():
         np.asarray(x + 1)
     lat = (time.perf_counter() - t0) / 10
 
-    # Bandwidth: 8 MB each way.
+    # Bandwidth: 8 MB each way.  One blocking transfer pays a full link RTT
+    # and the tunnel's rate wobbles minute-to-minute, so take the best of 3
+    # RTT-corrected trials — the ceiling arithmetic downstream needs the
+    # link's capability, not one noisy sample.
     big = np.zeros((2 * 1024 * 1024,), np.int32)
     jnp.asarray(big).block_until_ready()
-    t0 = time.perf_counter()
-    d = jnp.asarray(big)
-    d.block_until_ready()
-    h2d = 8.0 / (time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    np.asarray(d)
-    d2h = 8.0 / (time.perf_counter() - t0)
+    h2d = d2h = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jnp.asarray(big)
+        d.block_until_ready()
+        h2d = max(h2d, 8.0 / max(time.perf_counter() - t0 - lat, 1e-9))
+        t0 = time.perf_counter()
+        np.asarray(d)
+        d2h = max(d2h, 8.0 / max(time.perf_counter() - t0 - lat, 1e-9))
     return lat, h2d, d2h
 
 
@@ -243,24 +248,38 @@ def main() -> int:
     wbuf[: len(batch), : words_np.shape[1]] = words_np
     sbuf = np.zeros(Bb, np.int32)
     sbuf[: len(batch)] = sizes_np
-    jw, js = jnp.asarray(wbuf), jnp.asarray(sbuf)
-    jax.block_until_ready([jw, js])
+    # Pre-stage a few row-permuted variants of the same batch: identical
+    # workload, distinct buffers.  The tunnel can ack repeated *identical*
+    # dispatches early (observed), and a per-iteration scalar fetch costs a
+    # full link RTT (~30 ms here, i.e. comparable to the compute being
+    # measured) — so vary the input per dispatch, enqueue all iterations
+    # async, and sync ONCE at the end (single-device launches execute
+    # in-order, so the last checksum completing implies the rest did).
+    dc_iters = int(os.environ.get("BENCH_DC_ITERS", "16"))
+    variants = []
+    for v in range(min(4, dc_iters)):
+        jw = jnp.asarray(np.roll(wbuf, v, axis=0))
+        js = jnp.asarray(np.roll(sbuf, v, axis=0))
+        variants.append((jw, js))
+    jax.block_until_ready([b for pair in variants for b in pair])
     from saprobe_alac_tpu.ops.batch import _decode_batch
 
     from saprobe_alac_tpu.ops import lpc as _lpc_mod
     from saprobe_alac_tpu.ops import walk as _walk_mod
 
-    def decode_fn():
+    def decode_fn(jw, js):
         return _decode_batch(
             jw, js, cfg.frame_length, cfg.num_channels, cfg.bit_depth,
             cfg.pb, cfg.mb, cfg.kb, _walk_mod._IMPL, _lpc_mod._IMPL,
         )
 
-    np.asarray(csum(decode_fn()[0]))  # warm this shape
-    per_batch_dc = sustained(
-        lambda: csum(decode_fn()[0]),
-        lambda h: np.asarray(h),
-    )
+    np.asarray(csum(decode_fn(*variants[0])[0]))  # warm this shape
+    t0 = time.perf_counter()
+    last = None
+    for i in range(dc_iters):
+        last = csum(decode_fn(*variants[i % len(variants)])[0])
+    np.asarray(last)
+    per_batch_dc = (time.perf_counter() - t0 - lat) / dc_iters
     x_dc = audio_seconds / per_batch_dc
     log(f"device compute (pre-staged): {per_batch_dc*1e3:.1f} ms/batch -> {x_dc:.0f}x realtime")
 
@@ -287,7 +306,13 @@ def main() -> int:
     t_link = bytes_in / (h2d * 1e6) + bytes_out / (d2h * 1e6)
     link_bound_x = audio_seconds / t_link
     bound_x = min(link_bound_x, x_dc)
-    overlap_eff = x_e2e / bound_x
+    # Clamped at 1: e2e exceeding the "ceiling" means the link probe
+    # under-measured the sustained rate (the tunnel drifts), not that the
+    # pipeline beat physics.
+    if x_e2e > bound_x:
+        log(f"(e2e {x_e2e:.0f}x exceeded the probed link ceiling "
+            f"{bound_x:.0f}x — link probe under-measured; efficiency clamped)")
+    overlap_eff = min(1.0, x_e2e / bound_x)
     pcie = 10e9  # bytes/s per direction, conservative Gen4 x8
     pcie_bound_x = audio_seconds / (bytes_in / pcie + bytes_out / pcie)
     log(
