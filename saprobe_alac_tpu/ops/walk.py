@@ -434,10 +434,40 @@ def _entropy_dense_cpe(
 
 def _parse_coefs(words, p, num):
     """Read up to 32 int16 coefficients at per-lane positions; returns
-    ((B, 32) coefs, new p)."""
+    ((B, 32) coefs, new p).
+
+    The 32 fields span <=543 bits from ``p``, so ONE contiguous 18-word
+    window per lane covers them all.  XLA:TPU lowers minor-axis gathers to
+    ~10 ns/element, which made the naive per-field vread (two (B, 32)
+    gathers per channel) the single hottest op in the slot loop (~0.76 ms
+    each at B=2048); the window gather touches 3.6x fewer elements and the
+    field extraction is static-index shifts/selects that fuse to nothing.
+    """
+    wmax = words.shape[1] - 1
+    wb = jax.lax.shift_right_arithmetic(p, 5)  # (B,) base word
+    widx = jnp.clip(wb[:, None] + jnp.arange(18, dtype=I32)[None, :], 0, wmax)
+    win = jnp.take_along_axis(words, widx, axis=1)  # (B, 18), guard-clamped
+    boff = p & 31  # (B,) bit offset of coef 0 inside win[:, 0]
+    cols = []
+    for j in range(32):
+        t = boff + 16 * j  # (B,) absolute bit offset in the window
+        k_lo = 16 * j // 32  # static word holding bit 16j at boff=0
+        if 16 * j % 32 == 0:
+            lo = win[:, k_lo]
+            hi = win[:, k_lo + 1]
+            sh = u(t & 31)
+        else:
+            carry = t >= 32 * (k_lo + 1)  # (B,) boff pushed us a word over
+            lo = jnp.where(carry, win[:, k_lo + 1], win[:, k_lo])
+            hi = jnp.where(carry, win[:, k_lo + 2], win[:, k_lo + 1])
+            sh = u(t & 31)
+        # Same zero-guarded 32-bit window formulation as streambits.window32.
+        w32 = jax.lax.shift_left(u(lo), sh) | jax.lax.shift_right_logical(
+            jax.lax.shift_right_logical(u(hi), U32(1)), u(31 - s(sh))
+        )
+        cols.append(sext16(s(jax.lax.shift_right_logical(w32, U32(16)))))
     idx = jnp.arange(32, dtype=I32)[None, :]
-    pos = p[:, None] + 16 * idx
-    vals = sext16(vread(words, pos, 16))
+    vals = jnp.stack(cols, axis=1)  # (B, 32)
     coefs = jnp.where(idx < num[:, None], vals, 0)
     return coefs, p + 16 * num
 
@@ -496,7 +526,6 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         np.array(CHANNEL_LAYOUT_OFFSETS[C - 1], dtype=np.int32)
     )
 
-    arange_b = jnp.arange(B)
 
     def zeros_c():
         return jnp.zeros((B, C + 2), I32)
@@ -554,103 +583,152 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
         err = jnp.where(is_bad, ERR_ELEMENT, err)
 
-        # --- SCE/CPE common header (decoder.go:210-235 / 348-375) ---
-        unused = vread(words, p0 + 4, 12)
-        hdr4 = vread(words, p0 + 16, 4)
-        partial = sshr(hdr4, 3)
-        bsf = sshr(hdr4, 1) & 3
-        escf = hdr4 & 1
+        # --- SCE/CPE header + predictor/coef parse, gated: the coef window
+        # gathers and ~25 field reads only run on slots where some lane is
+        # actually at a channel element.  On END/DSE/FIL-only slots the cond
+        # carries ~30 small (B,)-shaped arrays — no residual-buffer traffic.
+        def _parse_elem():
+            err_l, ns_l = err, ns
+            is_sce_l, is_cpe_l = is_sce, is_cpe
+            is_elem = is_sce_l | is_cpe_l
 
-        err = jnp.where(is_elem & (unused != 0), ERR_HEADER, err)
-        err = jnp.where(is_elem & (bsf == 3), ERR_SHIFT, err)
-        is_elem = is_elem & (err == ERR_NONE)
-        is_sce = is_sce & is_elem
-        is_cpe = is_cpe & is_elem
+            # (decoder.go:210-235 / 348-375)
+            unused = vread(words, p0 + 4, 12)
+            hdr4 = vread(words, p0 + 16, 4)
+            partial = sshr(hdr4, 3)
+            bsf = sshr(hdr4, 1) & 3
+            escf = hdr4 & 1
 
-        p = p0 + 20
-        ns_part = s(
-            jax.lax.shift_left(u(vread(words, p, 16)), U32(16))
-        ) | vread(words, p + 16, 16)
-        ns_new = jnp.where(is_elem & (partial == 1), ns_part, ns)
-        err = jnp.where(is_elem & ((ns_new > F) | (ns_new < 0)), ERR_SAMPLES, err)
-        is_elem = is_elem & (err == ERR_NONE)
-        is_sce = is_sce & is_elem
-        is_cpe = is_cpe & is_elem
-        p = p + jnp.where(is_elem & (partial == 1), 32, 0)
-        ns = jnp.where(is_elem, ns_new, ns)
+            err_l = jnp.where(is_elem & (unused != 0), ERR_HEADER, err_l)
+            err_l = jnp.where(is_elem & (bsf == 3), ERR_SHIFT, err_l)
+            is_elem = is_elem & (err_l == ERR_NONE)
+            is_sce_l = is_sce_l & is_elem
+            is_cpe_l = is_cpe_l & is_elem
 
-        # chan_bits (decoder.go:230, 371); escape resets (decoder.go:326, 388).
-        cb_comp = depth - bsf * 8 + jnp.where(is_cpe, 1, 0)
-        esc_cb = jnp.where(is_cpe, depth, depth - bsf * 8)
-        # chan_bits outside [1, 32] hits degenerate Go shift-saturation paths;
-        # flag for exact scalar fallback rather than emulate on-device.
-        bad_width = (escf == 0) & ((cb_comp > 32) | (cb_comp < 1))
-        bad_width = bad_width | ((escf == 1) & (esc_cb < 1))
-        err = jnp.where(is_elem & bad_width, ERR_WIDTH, err)
-        is_elem = is_elem & (err == ERR_NONE)
-        is_sce = is_sce & is_elem
-        is_cpe = is_cpe & is_elem
+            p = p0 + 20
+            ns_part = s(
+                jax.lax.shift_left(u(vread(words, p, 16)), U32(16))
+            ) | vread(words, p + 16, 16)
+            ns_new = jnp.where(is_elem & (partial == 1), ns_part, ns_l)
+            err_l = jnp.where(
+                is_elem & ((ns_new > F) | (ns_new < 0)), ERR_SAMPLES, err_l
+            )
+            is_elem = is_elem & (err_l == ERR_NONE)
+            is_sce_l = is_sce_l & is_elem
+            is_cpe_l = is_cpe_l & is_elem
+            p = p + jnp.where(is_elem & (partial == 1), 32, 0)
+            ns_l = jnp.where(is_elem, ns_new, ns_l)
 
-        is_comp = is_elem & (escf == 0)
-        is_escape = is_elem & (escf == 1)
+            # chan_bits (decoder.go:230, 371); escape resets (:326, 388).
+            cb_comp = depth - bsf * 8 + jnp.where(is_cpe_l, 1, 0)
+            esc_cb = jnp.where(is_cpe_l, depth, depth - bsf * 8)
+            # chan_bits outside [1, 32] hits degenerate Go shift-saturation
+            # paths; flag for exact scalar fallback rather than emulate.
+            bad_width = (escf == 0) & ((cb_comp > 32) | (cb_comp < 1))
+            bad_width = bad_width | ((escf == 1) & (esc_cb < 1))
+            err_l = jnp.where(is_elem & bad_width, ERR_WIDTH, err_l)
+            is_elem = is_elem & (err_l == ERR_NONE)
+            is_sce_l = is_sce_l & is_elem
+            is_cpe_l = is_cpe_l & is_elem
 
-        # --- Compressed header: mix info + per-channel predictor headers ---
-        mixbits = vread(words, p, 8)
-        mixres = sext(vread(words, p + 8, 8), 8)
-        pc = p + 16  # compressed lanes advance past mix bytes (SCE reads them too)
+            is_comp = is_elem & (escf == 0)
+            is_escape = is_elem & (escf == 1)
 
-        b1 = vread(words, pc, 8)
-        mode_u = sshr(b1, 4)
-        den_u = b1 & 15
-        b2 = vread(words, pc + 8, 8)
-        pbf_u = sshr(b2, 5)
-        num_u = b2 & 31
-        coefs_u, p_after_u = _parse_coefs(words, pc + 16, num_u)
+            # Mix info + per-channel predictor headers
+            mixbits = vread(words, p, 8)
+            mixres = sext(vread(words, p + 8, 8), 8)
+            pc = p + 16  # compressed lanes pass the mix bytes (SCE reads too)
 
-        b3 = vread(words, p_after_u, 8)
-        mode_v = sshr(b3, 4)
-        den_v = b3 & 15
-        b4 = vread(words, p_after_u + 8, 8)
-        pbf_v = sshr(b4, 5)
-        num_v = b4 & 31
-        coefs_v, p_after_v = _parse_coefs(words, p_after_u + 16, num_v)
+            b1 = vread(words, pc, 8)
+            mode_u = sshr(b1, 4)
+            den_u = b1 & 15
+            b2 = vread(words, pc + 8, 8)
+            pbf_u = sshr(b2, 5)
+            num_u = b2 & 31
+            coefs_u, p_after_u = _parse_coefs(words, pc + 16, num_u)
 
-        p_pred = jnp.where(is_cpe, p_after_v, p_after_u)
+            b3 = vread(words, p_after_u, 8)
+            mode_v = sshr(b3, 4)
+            den_v = b3 & 15
+            b4 = vread(words, p_after_u + 8, 8)
+            pbf_v = sshr(b4, 5)
+            num_v = b4 & 31
+            coefs_v, p_after_v = _parse_coefs(words, p_after_u + 16, num_v)
 
-        # Shift region: saved cursor then skipped (decoder.go:289-293, 453-457).
-        shift_base = p_pred
-        nch_elem = 1 + jnp.where(is_cpe, 1, 0)
-        p_ent = p_pred + jnp.where(is_comp, bsf * 8 * nch_elem * ns, 0)
+            p_pred = jnp.where(is_cpe_l, p_after_v, p_after_u)
 
-        # --- Escape: raw data begins right after the element header ---
-        esc_base = p
-        p_esc_end = p + ns * esc_cb * nch_elem
-        # Truncated raw region: flag for the oracle's BitstreamOverrun.
-        err = jnp.where(is_escape & (p_esc_end > size_bits), ERR_OVERRUN, err)
-        is_escape = is_escape & (err == ERR_NONE)
-        is_elem = is_elem & (err == ERR_NONE)
-        is_sce = is_sce & is_elem
-        is_cpe = is_cpe & is_elem
-        is_comp = is_comp & is_elem
+            # Shift region: saved cursor, then skipped (decoder.go:289-293,
+            # 453-457).
+            shift_base = p_pred
+            nch_elem = 1 + jnp.where(is_cpe_l, 1, 0)
+            p_ent = p_pred + jnp.where(is_comp, bsf * 8 * nch_elem * ns_l, 0)
 
-        # --- DSE skip (decoder.go:554-574) ---
-        d_align = vread(words, p0 + 4, 1)
-        d_cnt = vread(words, p0 + 5, 8)
-        d_cnt2 = vread(words, p0 + 13, 8)
-        d_has2 = d_cnt == 255
-        d_total = d_cnt + jnp.where(d_has2, d_cnt2, 0)
-        p_dse = p0 + 5 + 8 + jnp.where(d_has2, 8, 0)
-        p_dse = jnp.where(d_align == 1, (p_dse + 7) & ~7, p_dse)
-        p_dse = p_dse + d_total * 8
-        err = jnp.where(is_dse & (sshr(p_dse, 3) >= sshr(size_bits, 3)), ERR_OVERRUN, err)
+            # Escape: raw data begins right after the element header
+            esc_base = p
+            p_esc_end = p + ns_l * esc_cb * nch_elem
+            # Truncated raw region: flag for the oracle's BitstreamOverrun.
+            err_l = jnp.where(
+                is_escape & (p_esc_end > size_bits), ERR_OVERRUN, err_l
+            )
+            is_escape = is_escape & (err_l == ERR_NONE)
+            is_elem = is_elem & (err_l == ERR_NONE)
+            is_comp = is_comp & is_elem
+            return (
+                err_l, ns_l, is_sce_l & is_elem, is_cpe_l & is_elem, is_comp,
+                is_escape, cb_comp, esc_cb, bsf, mixbits, mixres,
+                mode_u, den_u, pbf_u, num_u, coefs_u,
+                mode_v, den_v, pbf_v, num_v, coefs_v,
+                shift_base, esc_base, p_ent, p_esc_end,
+            )
 
-        # --- FIL skip (decoder.go:538-551) ---
-        f_cnt = vread(words, p0, 4)
-        f_has2 = f_cnt == 15
-        f_cnt2 = vread(words, p0 + 4, 8)
-        f_total = f_cnt + jnp.where(f_has2, f_cnt2 - 1, 0)
-        p_fil = p0 + 4 + jnp.where(f_has2, 8, 0) + f_total * 8
-        err = jnp.where(is_fil & (sshr(p_fil, 3) >= sshr(size_bits, 3)), ERR_OVERRUN, err)
+        def _no_elem():
+            z = jnp.zeros(B, I32)
+            zb = jnp.zeros(B, bool)
+            zc = jnp.zeros((B, 32), I32)
+            return (
+                err, ns, zb, zb, zb, zb, z, z, z, z, z,
+                z, z, z, z, zc, z, z, z, z, zc, z, z, z, z,
+            )
+
+        (
+            err, ns, is_sce, is_cpe, is_comp, is_escape, cb_comp, esc_cb,
+            bsf, mixbits, mixres, mode_u, den_u, pbf_u, num_u, coefs_u,
+            mode_v, den_v, pbf_v, num_v, coefs_v,
+            shift_base, esc_base, p_ent, p_esc_end,
+        ) = jax.lax.cond(jnp.any(is_elem), _parse_elem, _no_elem)
+        is_elem = is_sce | is_cpe
+        escf = is_escape.astype(I32)
+
+        # --- DSE/FIL skips, gated the same way (rare elements) ---
+        def _parse_skip():
+            # DSE (decoder.go:554-574)
+            d_align = vread(words, p0 + 4, 1)
+            d_cnt = vread(words, p0 + 5, 8)
+            d_cnt2 = vread(words, p0 + 13, 8)
+            d_has2 = d_cnt == 255
+            d_total = d_cnt + jnp.where(d_has2, d_cnt2, 0)
+            p_dse = p0 + 5 + 8 + jnp.where(d_has2, 8, 0)
+            p_dse = jnp.where(d_align == 1, (p_dse + 7) & ~7, p_dse)
+            p_dse = p_dse + d_total * 8
+            err_l = jnp.where(
+                is_dse & (sshr(p_dse, 3) >= sshr(size_bits, 3)), ERR_OVERRUN, err
+            )
+            # FIL (decoder.go:538-551)
+            f_cnt = vread(words, p0, 4)
+            f_has2 = f_cnt == 15
+            f_cnt2 = vread(words, p0 + 4, 8)
+            f_total = f_cnt + jnp.where(f_has2, f_cnt2 - 1, 0)
+            p_fil = p0 + 4 + jnp.where(f_has2, 8, 0) + f_total * 8
+            err_l = jnp.where(
+                is_fil & (sshr(p_fil, 3) >= sshr(size_bits, 3)), ERR_OVERRUN, err_l
+            )
+            return p_dse, p_fil, err_l
+
+        p_dse, p_fil, err = jax.lax.cond(
+            jnp.any(is_dse | is_fil),
+            _parse_skip,
+            lambda: (jnp.zeros(B, I32), jnp.zeros(B, I32), err),
+        )
 
         # --- END: byte-align then done (decoder.go:192-195) ---
         p_end = (p0 + 7) & ~7
@@ -668,9 +746,15 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         chan_v = jnp.where(is_cpe, chan + 1, C)
         out_u = offsets_table[jnp.clip(chan, 0, C - 1)]
 
+        cols_c2 = jnp.arange(C + 2, dtype=I32)[None, :]
+
         def put(arr, col, val):
             # Masked lanes carry col >= C, landing in the dummy columns.
-            return arr.at[arange_b, col].set(val)
+            # One-hot where instead of .at[].set: a (B,) scatter costs ~45us
+            # fixed on TPU and the commit does 17 of them per slot; the
+            # (B, C+2) select is pure fusible VPU work.
+            val = jnp.broadcast_to(jnp.asarray(val, arr.dtype), col.shape)
+            return jnp.where(col[:, None] == cols_c2, val[:, None], arr)
 
         st2 = dict(st)
         st2["order"] = put(put(st["order"], chan_u, jnp.where(is_comp, num_u, 0)), chan_v, jnp.where(is_comp, num_v, 0))
@@ -687,8 +771,14 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         st2["role"] = put(put(st["role"], chan_u, jnp.where(is_cpe, 1, 0)), chan_v, 2)
         st2["out_chan"] = put(put(st["out_chan"], chan_u, out_u), chan_v, out_u + 1)
         st2["filled"] = put(put(st["filled"], chan_u, 1), chan_v, 1)
-        coefs = st["coefs"].at[arange_b, chan_u].set(jnp.where(is_comp[:, None], coefs_u, 0))
-        coefs = coefs.at[arange_b, chan_v].set(jnp.where(is_comp[:, None], coefs_v, 0))
+        oh_u = (chan_u[:, None] == cols_c2)[:, :, None]  # (B, C+2, 1)
+        oh_v = (chan_v[:, None] == cols_c2)[:, :, None]
+        coefs = jnp.where(
+            oh_u, jnp.where(is_comp[:, None], coefs_u, 0)[:, None, :], st["coefs"]
+        )
+        coefs = jnp.where(
+            oh_v, jnp.where(is_comp[:, None], coefs_v, 0)[:, None, :], coefs
+        )
         st2["coefs"] = coefs
 
         # --- Entropy loops: U then V (order matters: shared bit cursor) ---
@@ -756,7 +846,26 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         st2["res"] = res
         return st2
 
-    state = jax.lax.fori_loop(0, C + EXTRA_SLOTS, slot_body, state)
+    # Early-exit slot loop: a homogeneous batch (the overwhelmingly common
+    # case — every lane the same element layout) finishes in 2-3 iterations
+    # (channel elements + END) instead of always paying all C + EXTRA_SLOTS
+    # slot bodies; each idle body costs a full copy of the (B, C*F) residual
+    # carry through the dispatch cond's identity branch (~0.7 ms at B=2048).
+    # Lanes still unfinished when the slot budget runs out get ERR_SLOTS
+    # below, exactly as with the fixed-trip loop.
+    def _slots_cond(carry):
+        slot, st = carry
+        return (slot < C + EXTRA_SLOTS) & jnp.any(
+            ~st["done"] & (st["err"] == ERR_NONE)
+        )
+
+    def _slots_body(carry):
+        slot, st = carry
+        return slot + 1, slot_body(slot, st)
+
+    _, state = jax.lax.while_loop(
+        _slots_cond, _slots_body, (jnp.asarray(0, I32), state)
+    )
 
     err = jnp.where(~state["done"] & (state["err"] == ERR_NONE), ERR_SLOTS, state["err"])
 
