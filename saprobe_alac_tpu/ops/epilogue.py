@@ -82,32 +82,36 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_l
 
     # Stereo un-decorrelation (matrix.go:38-49), wrapping int32:
     #   left = u + v - ((mixres*v) >> mixbits); right = left - v
-    unmixed = mix
+    # Channels live as a Python list of (B, F) planes so every update is a
+    # pure select — an .at[:, c].set on the (B, C, F) stack lowers to a full
+    # buffer copy + dynamic-update-slice (~1 ms each at B=2048 F=4096).
+    chans = [mix[:, c] for c in range(C)]
     for c in range(C - 1):
         is_u = role[:, c] == 1
-        uvals = mix[:, c]
-        vvals = mix[:, c + 1]
+        uvals = chans[c]
+        vvals = chans[c + 1]
         mres = mixres[:, c][:, None]
         mbits = mixbits[:, c][:, None]
         corr = sshr(mres * vvals, mbits)
         left = jnp.where((is_u[:, None]) & (mres != 0), uvals + vvals - corr, uvals)
         right = jnp.where((is_u[:, None]) & (mres != 0), left - vvals, vvals)
-        unmixed = unmixed.at[:, c].set(jnp.where(is_u[:, None], left, unmixed[:, c]))
-        unmixed = unmixed.at[:, c + 1].set(jnp.where(is_u[:, None], right, unmixed[:, c + 1]))
+        chans[c] = jnp.where(is_u[:, None], left, chans[c])
+        chans[c + 1] = jnp.where(is_u[:, None], right, chans[c + 1])
 
     # Shift re-insert: (val << shift) | shiftbits (matrix.go:129-131).  Only
     # the 24/32-bit writers apply it; 16/20-bit ignore bytesShifted
     # (matrix.go:30-105 take no shift buffer).
     if depth in (24, 32):
-        shift = bs[:, :, None] * 8
-        shifted = s(jax.lax.shift_left(u(unmixed), u(jnp.minimum(shift, 31)))) | shift_vals
-        vals = jnp.where(bs[:, :, None] > 0, shifted, unmixed)
-    else:
-        vals = unmixed
+        for c in range(C):
+            shift = bs[:, c, None] * 8
+            shifted = s(
+                jax.lax.shift_left(u(chans[c]), u(jnp.minimum(shift, 31)))
+            ) | shift_vals[:, c]
+            chans[c] = jnp.where(bs[:, c, None] > 0, shifted, chans[c])
 
     # 20-bit output is stored << 4 (matrix.go:91-101).
     if depth == 20:
-        vals = s(jax.lax.shift_left(u(vals), U32(4)))
+        chans = [s(jax.lax.shift_left(u(p), U32(4))) for p in chans]
 
     # MPEG -> SMPTE remap via recorded out_chan (decoder.go:55-64).  Built as
     # selects per output position rather than a scatter (TPU scatters over a
@@ -121,7 +125,7 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_l
         acc = jnp.zeros((B, F), I32)
         for c in range(C):
             sel = (filled[:, c] != 0) & (out_chan[:, c] == c_out)
-            acc = jnp.where(sel[:, None], vals[:, c], acc)
+            acc = jnp.where(sel[:, None], chans[c], acc)
         planes.append(acc)
     return jnp.stack(planes, axis=-1)
 
