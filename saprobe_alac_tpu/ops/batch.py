@@ -94,36 +94,36 @@ def _decode_batch(
     # Escape channels: raw extraction into the residual planes (order == 0).
     # Escape elements are rare in real streams (encoders only emit them when
     # compression loses), so the whole-batch bit gather is skipped unless some
-    # lane actually needs it.
+    # lane actually needs it.  Residuals stay in the walk kernel's F-major
+    # (F, C, B) plane layout end-to-end — the LPC kernel consumes and emits
+    # it natively, so the hot path has no 32 MB relayout anywhere.
     res = jax.lax.cond(
         jnp.any(w.esc == 1),
         lambda: extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
         lambda: w.res,
     )
 
-    # LPC reconstruction over (B*C) lanes.
+    # LPC reconstruction over (B*C) lanes, channel-major (lane = c*B + b) so
+    # the (F, L) lane axis is a plain reshape of the plane stack.
     L = B * C
-    ns_l = jnp.repeat(w.ns, C)
-    # (lpc_batch routes the FIR scan through the transposed Pallas kernel on
-    # TPU; see ops/lpc_kernel.py and SAPROBE_LPC_IMPL.)
     mix = _lpc_batch(
-        res.reshape(L, F),
-        w.order.reshape(L),
-        w.mode.reshape(L),
-        w.den.reshape(L),
-        w.cb.reshape(L),
-        ns_l,
-        w.coefs.reshape(L, 32),
+        res.reshape(F, L),
+        w.order.T.reshape(L),
+        w.mode.T.reshape(L),
+        w.den.T.reshape(L),
+        w.cb.T.reshape(L),
+        jnp.tile(w.ns, C),
+        w.coefs.transpose(1, 0, 2).reshape(L, 32),
         F,
         lpc_impl,
-    ).reshape(B, C, F)
+    )
 
     # bytesShifted > 0 only appears on 24/32-bit streams; skip the fixed-stride
     # gather entirely when no lane carries a shift region.
     shift_vals = jax.lax.cond(
         jnp.any(w.bs > 0),
         lambda: extract_shift(words, w.shift_base, w.bs, w.role, F, C),
-        lambda: jnp.zeros((B, C, F), jnp.int32),
+        lambda: jnp.zeros((F, C, B), jnp.int32),
     )
     out = finish(mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, depth)
     return pack_output(out, depth), w.err, w.ns

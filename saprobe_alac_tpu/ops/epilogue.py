@@ -24,12 +24,15 @@ def extract_escape(words, res, esc, esc_base, esc_cb, role, frame_length, num_ch
     Escape data layout (decoder.go:326-345, 507-535): SCE = consecutive
     chan_bits-wide values; CPE = U/V interleaved.  Values land in the residual
     planes with order forced 0 so phase 2 passes them through.
+
+    ``res`` is the walk's (F, C, B) F-major plane stack; the bit gather runs
+    lane-major (vread's layout) and transposes per plane — this whole
+    function sits behind an any(esc) cond and never runs on the hot path.
     """
-    B = res.shape[0]
     F = frame_length
     C = num_channels
     i = jnp.arange(F, dtype=I32)[None, :]
-    out = res
+    planes = []
     for c in range(C):
         active = esc[:, c] == 1
         cb = esc_cb[:, c][:, None]
@@ -38,20 +41,19 @@ def extract_escape(words, res, esc, esc_base, esc_cb, role, frame_length, num_ch
         stride = jnp.where(rl == 0, cb, 2 * cb)
         phase = jnp.where(rl == 2, cb, 0)
         pos = esc_base[:, c][:, None] + i * stride + phase
-        vals = sext(vread(words, pos, jnp.maximum(cb, 1)), cb)
-        plane = jnp.where(active[:, None], vals, out[:, c * F : (c + 1) * F])
-        out = jax.lax.dynamic_update_slice(out, plane, (0, c * F))
-    return out
+        vals = sext(vread(words, pos, jnp.maximum(cb, 1)), cb)  # (B, F)
+        planes.append(jnp.where(active[None, :], vals.T, res[:, c]))
+    return jnp.stack(planes, axis=1)
 
 
 @partial(jax.jit, static_argnames=("frame_length", "num_channels"))
 def extract_shift(words, shift_base, bs, role, frame_length, num_channels):
-    """Extract shift-buffer LSB values: (B, C, F) int32.
+    """Extract shift-buffer LSB values: (F, C, B) int32 F-major planes.
 
     Mono channels read consecutive width-bit values; pairs are interleaved
-    U/V (decoder.go:314-321, 492-502).
+    U/V (decoder.go:314-321, 492-502).  Cond-gated on any(bs > 0): only
+    24/32-bit shifted streams pay the gather (and its transposes).
     """
-    B = shift_base.shape[0]
     F = frame_length
     C = num_channels
     i = jnp.arange(F, dtype=I32)[None, :]
@@ -62,8 +64,8 @@ def extract_shift(words, shift_base, bs, role, frame_length, num_channels):
         stride = jnp.where(rl == 0, width, 2 * width)
         phase = jnp.where(rl == 2, width, 0)
         pos = shift_base[:, c][:, None] + i * stride + phase
-        vals = vread(words, pos, jnp.maximum(width, 1))
-        planes.append(jnp.where((bs[:, c] > 0)[:, None], vals, 0))
+        vals = vread(words, pos, jnp.maximum(width, 1))  # (B, F)
+        planes.append(jnp.where((bs[:, c] > 0)[None, :], vals.T, 0))
     return jnp.stack(planes, axis=1)
 
 
@@ -71,43 +73,45 @@ def extract_shift(words, shift_base, bs, role, frame_length, num_channels):
 def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_length, num_channels, depth):
     """Unmix pairs, re-insert shift bits, normalize 20-bit, remap channels.
 
-    mix: (B, C, F) reconstructed channel values (bitstream channel order).
-    ``filled`` masks slots no element decoded into (early END leaves those
-    output channels zero, matching the reference's zeroed output buffer).
-    Returns (B, F, C) int32 output samples in SMPTE order.
+    mix: (F, C*B) F-major reconstructed channel values, channel-major lanes
+    (lane = c*B + b) — the LPC kernel's native output layout.  shift_vals:
+    (F, C, B).  ``filled`` masks slots no element decoded into (early END
+    leaves those output channels zero, matching the reference's zeroed
+    output buffer).  Returns (B, F, C) int32 output samples in SMPTE order.
+
+    Channels live as a Python list of (F, B) planes so every update is a
+    pure select; the single relayout in the whole epilogue is the final
+    (F, B, C) -> (B, F, C) transpose feeding the D2H byte packer.
     """
-    B = mix.shape[0]
     F = frame_length
     C = num_channels
+    B = mix.shape[1] // C
 
     # Stereo un-decorrelation (matrix.go:38-49), wrapping int32:
     #   left = u + v - ((mixres*v) >> mixbits); right = left - v
-    # Channels live as a Python list of (B, F) planes so every update is a
-    # pure select — an .at[:, c].set on the (B, C, F) stack lowers to a full
-    # buffer copy + dynamic-update-slice (~1 ms each at B=2048 F=4096).
-    chans = [mix[:, c] for c in range(C)]
+    chans = [mix[:, c * B : (c + 1) * B] for c in range(C)]
     for c in range(C - 1):
-        is_u = role[:, c] == 1
+        is_u = (role[:, c] == 1)[None, :]
         uvals = chans[c]
         vvals = chans[c + 1]
-        mres = mixres[:, c][:, None]
-        mbits = mixbits[:, c][:, None]
+        mres = mixres[:, c][None, :]
+        mbits = mixbits[:, c][None, :]
         corr = sshr(mres * vvals, mbits)
-        left = jnp.where((is_u[:, None]) & (mres != 0), uvals + vvals - corr, uvals)
-        right = jnp.where((is_u[:, None]) & (mres != 0), left - vvals, vvals)
-        chans[c] = jnp.where(is_u[:, None], left, chans[c])
-        chans[c + 1] = jnp.where(is_u[:, None], right, chans[c + 1])
+        left = jnp.where(is_u & (mres != 0), uvals + vvals - corr, uvals)
+        right = jnp.where(is_u & (mres != 0), left - vvals, vvals)
+        chans[c] = jnp.where(is_u, left, chans[c])
+        chans[c + 1] = jnp.where(is_u, right, chans[c + 1])
 
     # Shift re-insert: (val << shift) | shiftbits (matrix.go:129-131).  Only
     # the 24/32-bit writers apply it; 16/20-bit ignore bytesShifted
     # (matrix.go:30-105 take no shift buffer).
     if depth in (24, 32):
         for c in range(C):
-            shift = bs[:, c, None] * 8
+            shift = (bs[:, c] * 8)[None, :]
             shifted = s(
                 jax.lax.shift_left(u(chans[c]), u(jnp.minimum(shift, 31)))
             ) | shift_vals[:, c]
-            chans[c] = jnp.where(bs[:, c, None] > 0, shifted, chans[c])
+            chans[c] = jnp.where((bs[:, c] > 0)[None, :], shifted, chans[c])
 
     # 20-bit output is stored << 4 (matrix.go:91-101).
     if depth == 20:
@@ -122,12 +126,12 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_l
     # reference's zeroed output buffer.
     planes = []
     for c_out in range(C):
-        acc = jnp.zeros((B, F), I32)
+        acc = jnp.zeros((F, B), I32)
         for c in range(C):
-            sel = (filled[:, c] != 0) & (out_chan[:, c] == c_out)
-            acc = jnp.where(sel[:, None], chans[c], acc)
+            sel = ((filled[:, c] != 0) & (out_chan[:, c] == c_out))[None, :]
+            acc = jnp.where(sel, chans[c], acc)
         planes.append(acc)
-    return jnp.stack(planes, axis=-1)
+    return jnp.stack(planes, axis=-1).transpose(1, 0, 2)
 
 
 @partial(jax.jit, static_argnames=("depth",))

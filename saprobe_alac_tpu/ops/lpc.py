@@ -45,55 +45,51 @@ def _kernel_impl(impl: str) -> bool:
 _INT32_ORDERS = (4, 5, 6, 8)
 
 
-def delta_decode(res, chan_bits, ns):
+def delta_decode(res_t, chan_bits, ns):
     """First-order delta decode: out[i] = sext(cumsum(res)[i]) for i >= 1.
 
-    res: (L, F) int32; chan_bits, ns: (L,).  Entries at i >= ns are garbage
-    (masked later).  out[0] = res[0] unsexted (predictor.go:53).
+    res_t: (F, L) int32 F-major; chan_bits, ns: (L,).  Rows at i >= ns are
+    garbage (masked later).  out[0] = res[0] unsexted (predictor.go:53).
     """
-    csum = jnp.cumsum(res.astype(jnp.uint32), axis=1).astype(jnp.int32)
-    out = sext(csum, chan_bits[:, None])
-    return jnp.where(jnp.arange(res.shape[1])[None, :] == 0, res, out)
+    csum = jnp.cumsum(res_t.astype(jnp.uint32), axis=0).astype(jnp.int32)
+    out = sext(csum, chan_bits[None, :])
+    return jnp.where(jnp.arange(res_t.shape[0])[:, None] == 0, res_t, out)
 
 
-def lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length):
+def lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length):
     """Thin unjitted wrapper forwarding the module-level ``_IMPL`` selection
     as a static jit argument (flipping it retraces — see walk.walk_batch)."""
-    return _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, _IMPL)
+    return _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, _IMPL)
 
 
 @partial(jax.jit, static_argnames=("frame_length", "impl"))
-def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
+def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
     """Reconstruct samples from residuals for all lanes.
 
-    res:   (L, F) int32 entropy residuals (escape lanes hold raw samples and
-           have order == 0).
+    res_t: (F, L) int32 entropy residuals, F-major (the walk kernel's row
+           layout — escape lanes hold raw samples and have order == 0).
     order, mode, den, cb, ns: (L,) int32.
     coefs: (L, 32) int32 (int16 range), zero beyond each lane's order.
 
-    Returns (L, F) int32 reconstructed channel samples.
+    Returns (F, L) int32 reconstructed channel samples, same layout — the
+    Pallas FIR kernel both reads and writes F-major, so the hot path has no
+    transpose anywhere; only the XLA scan fallback (CPU backends) converts
+    to lane-major and back around its dynamic-slice machinery.
     """
     F = frame_length
-    L = res.shape[0]
-    lanes = jnp.arange(L)
+    L = res_t.shape[1]
 
     # Two-stage mode: delta pre-pass over the stream residuals
     # (decoder.go:307-309: UnpcBlock in-place with order 31).
-    pre = delta_decode(res, cb, ns)
-    res = jnp.where((mode != 0)[:, None], pre, res)
+    pre = delta_decode(res_t, cb, ns)
+    res_t = jnp.where((mode != 0)[None, :], pre, res_t)
 
     # Vectorized special orders.
-    delta_out = delta_decode(res, cb, ns)
+    delta_out = delta_decode(res_t, cb, ns)
     is_delta = order == 31
     is_fir = (order >= 1) & (order <= 30)
 
-    out0 = jnp.where(is_delta[:, None], delta_out, res)
-
-    # FIR lanes run the serial scan.  History is kept in a left-padded buffer
-    # so the 32-wide window slice never needs branching.
-    PAD = 32
-    outP = jnp.zeros((L, PAD + F), I32)
-    outP = jax.lax.dynamic_update_slice(outP, out0, (0, PAD))
+    out0_t = jnp.where(is_delta[None, :], delta_out, res_t)
 
     # den in [0,15]: den_half = 1 << (den-1) for den > 0 (predictor.go:48-51).
     den_half = jnp.where(
@@ -123,11 +119,18 @@ def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
             pad_shape = (L_pad - L,) + x.shape[1:]
             return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)])
 
-        res_t = jnp.zeros((F_pad, L_pad), I32)
-        res_t = jax.lax.dynamic_update_slice(res_t, padL(res).T, (0, 0))
+        res_k = res_t
+        if F_pad != F:
+            res_k = jnp.concatenate(
+                [res_k, jnp.zeros((F_pad - F, L), I32)], axis=0
+            )
+        if L_pad != L:
+            res_k = jnp.concatenate(
+                [res_k, jnp.zeros((F_pad, L_pad - L), I32)], axis=1
+            )
         coefs_t = padL(coefs).T  # (32, L_pad)
         kargs = (
-            res_t,
+            res_k,
             padL(is_fir),
             padL(order),
             padL(den),
@@ -146,8 +149,17 @@ def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
             lambda: lpc_fir_pallas(*kargs, coefs_t[:9], taps=9, **kw),
             lambda: lpc_fir_pallas(*kargs, coefs_t, taps=32, **kw),
         )
-        fir_out = out_t[:F, :L].T
-        return jnp.where(is_fir[:, None], fir_out, out0)
+        return jnp.where(is_fir[None, :], out_t[:F, :L], out0_t)
+
+    # --- XLA scan fallback (CPU backends / tests): lane-major internally ---
+    res = res_t.T
+    out0 = out0_t.T
+
+    # FIR lanes run the serial scan.  History is kept in a left-padded buffer
+    # so the 32-wide window slice never needs branching.
+    PAD = 32
+    outP = jnp.zeros((L, PAD + F), I32)
+    outP = jax.lax.dynamic_update_slice(outP, out0, (0, PAD))
 
     tap_idx = jnp.arange(32, dtype=I32)[None, :]  # k
     weight = order[:, None] - tap_idx  # adaptation weight for tap k
@@ -206,4 +218,4 @@ def _lpc_batch(res, order, mode, den, cb, ns, coefs, frame_length, impl):
 
     outP, _ = jax.lax.cond(any_fir, run_scan, lambda a: a, (outP, coefs))
 
-    return jax.lax.dynamic_slice(outP, (0, PAD), (L, F))
+    return jax.lax.dynamic_slice(outP, (0, PAD), (L, F)).T

@@ -44,7 +44,11 @@ ERR_WIDTH = 7  # chan_bits > 32 (degenerate 32-bit CPE path) -> scalar fallback
 class WalkResult(NamedTuple):
     """Per-batch phase-1 outputs (all int32)."""
 
-    res: jnp.ndarray  # (B, C*F) entropy residuals per channel plane
+    res: jnp.ndarray  # (F, C, B) entropy residuals, F-major ("transposed")
+    #                   channel planes — the walk kernel emits rows in this
+    #                   layout and the LPC kernel consumes (F, C*B) natively,
+    #                   so keeping it end-to-end avoids two 32 MB relayouts
+    #                   per batch (reshape to lanes is free).
     err: jnp.ndarray  # (B,)
     ns: jnp.ndarray  # (B,) decoded samples per packet
     order: jnp.ndarray  # (B, C)
@@ -336,7 +340,10 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
 def _entropy_dense(words_t, B, size_bits, bitpos, err, res, active, cur_chan, pb_local, max_size, ns, cfg):
     """Dense-emission Pallas path: one kernel call decodes the whole channel
     for every active lane (ops/walk_kernel.py), then C static selects merge
-    the dense rows into the per-channel residual planes (no scatter)."""
+    the dense rows into the per-channel residual planes (no scatter).
+
+    ``res`` is a tuple of C F-major planes, each (F, B) — the kernel's own
+    row layout, merged without any transpose."""
     from .walk_kernel import dense_entropy_pallas
 
     F = cfg["frame_length"]
@@ -365,15 +372,14 @@ def _entropy_dense(words_t, B, size_bits, bitpos, err, res, active, cur_chan, pb
         LB=LB,
         interpret=cfg["impl"] == "pallas_interpret",
     )
-    rows_b = rows[:F, :B].T  # (B, F)
+    rows_f = rows[:F, :B]  # (F, B)
     kerr = kerr[:B]
     bitpos = jnp.where(act, bp2[:B], bitpos)
     err = jnp.where(act & (kerr != ERR_NONE), kerr, err)
-    for c in range(C):
-        seg = res[:, c * F : (c + 1) * F]
-        res = res.at[:, c * F : (c + 1) * F].set(
-            jnp.where((act & (cur_chan == c))[:, None], rows_b, seg)
-        )
+    res = tuple(
+        jnp.where((act & (cur_chan == c))[None, :], rows_f, res[c])
+        for c in range(C)
+    )
     return bitpos, err, res
 
 
@@ -418,18 +424,17 @@ def _entropy_dense_cpe(
         interpret=cfg["impl"] == "pallas_interpret",
     )
     F_pad = rows.shape[0] // 2
-    rows_t = rows.T  # (B_pad, 2*F_pad): one transpose for both channels
-    rows_u = rows_t[:B, :F]
-    rows_v = rows_t[:B, F_pad : F_pad + F]
+    rows_u = rows[:F, :B]  # (F, B), no transpose: planes share the layout
+    rows_v = rows[F_pad : F_pad + F, :B]
     kerr = kerr[:B]
     bitpos = jnp.where(act_u, bp2[:B], bitpos)
     err = jnp.where(act_u & (kerr != ERR_NONE), kerr, err)
+    out = []
     for c in range(C):
-        seg = res[:, c * F : (c + 1) * F]
-        seg = jnp.where((act_u & (chan == c))[:, None], rows_u, seg)
-        seg = jnp.where((act_v & (chan + 1 == c))[:, None], rows_v, seg)
-        res = res.at[:, c * F : (c + 1) * F].set(seg)
-    return bitpos, err, res
+        seg = jnp.where((act_u & (chan == c))[None, :], rows_u, res[c])
+        seg = jnp.where((act_v & (chan + 1 == c))[None, :], rows_v, seg)
+        out.append(seg)
+    return bitpos, err, tuple(out)
 
 
 def _parse_coefs(words, p, num):
@@ -551,7 +556,14 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         "done": jnp.zeros(B, bool),
         "err": jnp.zeros(B, I32),
         "ns": jnp.full(B, F, I32),
-        "res": jnp.zeros((B, C * F + _K_MICRO), I32),
+        # Dense (Pallas) carries the residuals as C F-major planes in the
+        # kernel's own row layout; the XLA lockstep path keeps the flat
+        # (B, C*F + K) buffer its micro-batch scatter machinery writes.
+        "res": (
+            tuple(jnp.zeros((F, B), I32) for _ in range(C))
+            if dense
+            else jnp.zeros((B, C * F + _K_MICRO), I32)
+        ),
         "order": zeros_c(),
         "mode": zeros_c(),
         "den": zeros_c(),
@@ -883,8 +895,17 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
     err = jnp.where(~state["done"] & (state["err"] == ERR_NONE), ERR_SLOTS, state["err"])
 
+    if dense:
+        res_fcb = jnp.stack(state["res"], axis=1)  # (F, C, B)
+    else:
+        # CPU/interpret fallback: normalize the flat lane-major buffer to the
+        # F-major plane layout the downstream pipeline consumes.
+        res_fcb = (
+            state["res"][:, : C * F].reshape(B, C, F).transpose(2, 1, 0)
+        )
+
     return WalkResult(
-        res=state["res"][:, : C * F],
+        res=res_fcb,
         err=err,
         ns=state["ns"],
         order=state["order"][:, :C],

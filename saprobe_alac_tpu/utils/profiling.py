@@ -86,7 +86,7 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
         return jax.lax.cond(
             jnp.any(w.bs > 0),
             lambda: extract_shift(jw, w.shift_base, w.bs, w.role, F, C),
-            lambda: jnp.zeros((B, C, F), jnp.int32),
+            lambda: jnp.zeros((F, C, B), jnp.int32),
         )
 
     # Warm pass: the phase closures above are created fresh per call, so their
@@ -127,13 +127,13 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
         with timer.phase("lpc"):
             L = Bb * C
             mix = lpc_batch(
-                res.reshape(L, F),
-                w.order.reshape(L),
-                w.mode.reshape(L),
-                w.den.reshape(L),
-                w.cb.reshape(L),
-                jnp.repeat(w.ns, C),
-                w.coefs.reshape(L, 32),
+                res.reshape(F, L),
+                w.order.T.reshape(L),
+                w.mode.T.reshape(L),
+                w.den.T.reshape(L),
+                w.cb.T.reshape(L),
+                jnp.tile(w.ns, C),
+                w.coefs.transpose(1, 0, 2).reshape(L, 32),
                 F,
             )
             jax.block_until_ready(mix)
@@ -141,7 +141,7 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
         with timer.phase("epilogue"):
             sv = shift_step(jw, w)
             out = finish(
-                mix.reshape(Bb, C, F), sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, cfg.bit_depth
+                mix, sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, cfg.bit_depth
             )
             packed = pack_output(out, cfg.bit_depth)
             jax.block_until_ready(packed)
