@@ -33,6 +33,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--frame", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--lb", type=int, default=0, help="force lane-block size")
     ap.add_argument("--probes", default="base,nofetch,nozrun,norefill,nostore,nodma,base2")
     args = ap.parse_args()
 
@@ -81,7 +82,7 @@ def main() -> int:
     size_bits = jnp.asarray(sizes_np)
     mb = zeros + 10
 
-    LB = 1024 if B % 1024 == 0 else 512
+    LB = args.lb or (1024 if B % 1024 == 0 else 512)
     jax.block_until_ready([words_t, size_bits])
 
     results = {}
@@ -94,6 +95,16 @@ def main() -> int:
         )
         jax.block_until_ready(rows)
         compile_s = time.time() - t0
+        # Pre-warm every varied-buffer dispatch: each distinct python `it`
+        # compiles its own .add through jit, and through the tunnel those
+        # compiles take tens of seconds — they must not land in the timed
+        # loop (single-variant runs have no earlier variant to warm them).
+        for it in range(args.iters):
+            rows, bp, err = dense_entropy_pallas(
+                words_t.at[-1].add(it), bitpos, act, pb_local, max_size, ns,
+                size_bits, mb, kb=14, F=F, LB=LB, probe=p,
+            )
+        np.asarray(bp[0])
         t0 = time.time()
         for it in range(args.iters):
             # Fresh input buffer each iteration (the tunnel's

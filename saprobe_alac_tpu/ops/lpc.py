@@ -80,16 +80,27 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
     L = res_t.shape[1]
 
     # Two-stage mode: delta pre-pass over the stream residuals
-    # (decoder.go:307-309: UnpcBlock in-place with order 31).
-    pre = delta_decode(res_t, cb, ns)
-    res_t = jnp.where((mode != 0)[None, :], pre, res_t)
+    # (decoder.go:307-309: UnpcBlock in-place with order 31).  Real encoders
+    # emit mode == 0 and FIR orders almost always, and each delta pass is a
+    # full (F, L) u32 cumsum (~1.1 ms at production shapes) — gate both on
+    # "any lane needs it" so the common batch skips them entirely.
+    res_t = jax.lax.cond(
+        jnp.any(mode != 0),
+        lambda r: jnp.where((mode != 0)[None, :], delta_decode(r, cb, ns), r),
+        lambda r: r,
+        res_t,
+    )
 
     # Vectorized special orders.
-    delta_out = delta_decode(res_t, cb, ns)
     is_delta = order == 31
     is_fir = (order >= 1) & (order <= 30)
 
-    out0_t = jnp.where(is_delta[None, :], delta_out, res_t)
+    out0_t = jax.lax.cond(
+        jnp.any(is_delta),
+        lambda r: jnp.where(is_delta[None, :], delta_decode(r, cb, ns), r),
+        lambda r: r,
+        res_t,
+    )
 
     # den in [0,15]: den_half = 1 << (den-1) for den > 0 (predictor.go:48-51).
     den_half = jnp.where(
