@@ -59,6 +59,17 @@ def main() -> int:
         ]
         return jnp.stack(cols, axis=1)
 
+    @jax.jit
+    def f_masksum_t(wt, wb):
+        # major-axis variant over the transposed (W, B) layout the walk
+        # kernel already keeps resident: sequential accumulation, no lane
+        # reduce.
+        rel = jnp.arange(W, dtype=jnp.int32)[:, None] - wb[None, :]  # (W, B)
+        cols = [
+            jnp.sum(jnp.where(rel == k, wt, 0), axis=0) for k in range(NW)
+        ]
+        return jnp.stack(cols, axis=1)
+
     ref = np.asarray(f_gather(words, wb))
     REP = 50
 
@@ -73,20 +84,26 @@ def main() -> int:
             return jax.lax.fori_loop(0, REP, step, jnp.zeros(B, jnp.int32))
         return g
 
-    for name, f in [("gather", f_gather), ("masksum", f_masksum)]:
-        out = f(words, wb)
+    words_t = jnp.asarray(np.asarray(words).T.copy())
+    cases = [
+        ("gather", f_gather, words),
+        ("masksum", f_masksum, words),
+        ("masksum_t", f_masksum_t, words_t),
+    ]
+    for name, f, data in cases:
+        out = f(data, wb)
         jax.block_until_ready(out)
         assert np.array_equal(np.asarray(out), ref), name
         g = chain(f)
         for it in range(args.iters):
-            g(words.at[0, 0].add(it), wb)
+            g(data.at[0, 0].add(it), wb)
         acc = None
         t0 = time.time()
         for it in range(args.iters):
-            acc = g(words.at[0, 0].add(it), wb)
+            acc = g(data.at[0, 0].add(it), wb)
         np.asarray(acc[0])
         ms = (time.time() - t0) / args.iters / REP * 1e3
-        print(f"{name:8s} {ms:8.3f} ms/call  ({B}x{W} -> {NW} words/lane, x{REP} chained)",
+        print(f"{name:9s} {ms:8.3f} ms/call  ({B}x{W} -> {NW} words/lane, x{REP} chained)",
               flush=True)
     return 0
 

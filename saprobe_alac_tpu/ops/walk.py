@@ -337,106 +337,6 @@ def _entropy_channel(words, size_bits, bitpos, err, res, active, cur_chan, pb_lo
     return bitpos, err, res
 
 
-def _entropy_dense(words_t, B, size_bits, bitpos, err, res, active, cur_chan, pb_local, max_size, ns, cfg):
-    """Dense-emission Pallas path: one kernel call decodes the whole channel
-    for every active lane (ops/walk_kernel.py), then C static selects merge
-    the dense rows into the per-channel residual planes (no scatter).
-
-    ``res`` is a tuple of C F-major planes, each (F, B) — the kernel's own
-    row layout, merged without any transpose."""
-    from .walk_kernel import dense_entropy_pallas
-
-    F = cfg["frame_length"]
-    C = cfg["num_channels"]
-    B_pad = words_t.shape[1]
-    LB = cfg["lane_block"]
-
-    act = active & (err == ERR_NONE)
-
-    def pad(x, fill=0):
-        if B_pad == B:
-            return x
-        return jnp.concatenate([x, jnp.full((B_pad - B,), fill, x.dtype)])
-
-    rows, bp2, kerr = dense_entropy_pallas(
-        words_t,
-        pad(bitpos),
-        pad(act.astype(I32)),
-        pad(pb_local),
-        pad(jnp.broadcast_to(jnp.asarray(max_size, I32), (B,))),
-        pad(ns),
-        pad(size_bits),
-        pad(jnp.full((B,), cfg["mb"], I32)),
-        kb=cfg["kb"],
-        F=F,
-        LB=LB,
-        interpret=cfg["impl"] == "pallas_interpret",
-    )
-    rows_f = rows[:F, :B]  # (F, B)
-    kerr = kerr[:B]
-    bitpos = jnp.where(act, bp2[:B], bitpos)
-    err = jnp.where(act & (kerr != ERR_NONE), kerr, err)
-    res = tuple(
-        jnp.where((act & (cur_chan == c))[None, :], rows_f, res[c])
-        for c in range(C)
-    )
-    return bitpos, err, res
-
-
-def _entropy_dense_cpe(
-    words_t, B, size_bits, bitpos, err, res, ent_u, ent_v, chan,
-    pb_u, pb_v, max_size, ns, cfg
-):
-    """Fused stereo-pair path: ONE 2-pass kernel invocation decodes the U
-    residual block and then the V block that follows it in the bitstream
-    (decoder.go:463-489 ordering) — one dispatch, one L1/window pipeline,
-    one transpose+merge, instead of two of each."""
-    from .walk_kernel import dense_entropy_pallas
-
-    F = cfg["frame_length"]
-    C = cfg["num_channels"]
-    B_pad = words_t.shape[1]
-    LB = cfg["lane_block"]
-
-    act_u = ent_u & (err == ERR_NONE)
-    act_v = ent_v & (err == ERR_NONE)
-
-    def pad(x, fill=0):
-        if B_pad == B:
-            return x
-        return jnp.concatenate([x, jnp.full((B_pad - B,), fill, x.dtype)])
-
-    rows, bp2, kerr = dense_entropy_pallas(
-        words_t,
-        pad(bitpos),
-        pad(act_u.astype(I32)),
-        pad(pb_u),
-        pad(jnp.broadcast_to(jnp.asarray(max_size, I32), (B,))),
-        pad(ns),
-        pad(size_bits),
-        pad(jnp.full((B,), cfg["mb"], I32)),
-        pad(act_v.astype(I32)),
-        pad(pb_v),
-        kb=cfg["kb"],
-        F=F,
-        LB=LB,
-        passes=2,
-        interpret=cfg["impl"] == "pallas_interpret",
-    )
-    F_pad = rows.shape[0] // 2
-    rows_u = rows[:F, :B]  # (F, B), no transpose: planes share the layout
-    rows_v = rows[F_pad : F_pad + F, :B]
-    kerr = kerr[:B]
-    bitpos = jnp.where(act_u, bp2[:B], bitpos)
-    err = jnp.where(act_u & (kerr != ERR_NONE), kerr, err)
-    out = []
-    for c in range(C):
-        seg = jnp.where((act_u & (chan == c))[None, :], rows_u, res[c])
-        seg = jnp.where((act_v & (chan + 1 == c))[None, :], rows_v, seg)
-        out.append(seg)
-    return bitpos, err, tuple(out)
-
-
 def _parse_coefs(words, p, num):
     """Read up to 32 int16 coefficients at per-lane positions; returns
     ((B, 32) coefs, new p).
@@ -815,50 +715,24 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
         res = st["res"]
 
-        if dense:
-
-            def run_u(args):
-                bp, er, rs = args
-                return _entropy_dense(
-                    words_t, B, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
-                )
-
-            def run_uv(args):
-                bp, er, rs = args
-                return _entropy_dense_cpe(
-                    words_t, B, size_bits, bp, er, rs, ent_u, ent_v, chan,
-                    pb_u, pb_v, cb_comp, ns, cfg
-                )
-
-            # Stereo pairs take the fused 2-pass kernel (the hot case: one
-            # dispatch decodes U then V); batches with no V channels this
-            # slot take the 1-pass kernel; neither -> no-op.
-            new_bitpos, err, res = jax.lax.cond(
-                jnp.any(ent_v),
-                run_uv,
-                lambda a: jax.lax.cond(jnp.any(ent_u), run_u, lambda b: b, a),
-                (new_bitpos, err, res),
+        def run_u(args):
+            bp, er, rs = args
+            return _entropy_channel(
+                words, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
             )
-        else:
 
-            def run_u(args):
-                bp, er, rs = args
-                return _entropy_channel(
-                    words, size_bits, bp, er, rs, ent_u, chan, pb_u, cb_comp, ns, cfg
-                )
-
-            def run_v(args):
-                bp, er, rs = args
-                return _entropy_channel(
-                    words, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
-                )
-
-            new_bitpos, err, res = jax.lax.cond(
-                jnp.any(ent_u), run_u, lambda a: a, (new_bitpos, err, res)
+        def run_v(args):
+            bp, er, rs = args
+            return _entropy_channel(
+                words, size_bits, bp, er, rs, ent_v, chan + 1, pb_v, cb_comp, ns, cfg
             )
-            new_bitpos, err, res = jax.lax.cond(
-                jnp.any(ent_v), run_v, lambda a: a, (new_bitpos, err, res)
-            )
+
+        new_bitpos, err, res = jax.lax.cond(
+            jnp.any(ent_u), run_u, lambda a: a, (new_bitpos, err, res)
+        )
+        new_bitpos, err, res = jax.lax.cond(
+            jnp.any(ent_v), run_v, lambda a: a, (new_bitpos, err, res)
+        )
 
         # --- Advance channel counter / done flags ---
         chan_new = chan + jnp.where(is_sce, 1, 0) + jnp.where(is_cpe, 2, 0)
@@ -871,6 +745,232 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         st2["ns"] = ns
         st2["res"] = res
         return st2
+
+    def slot_body_dense(_, st):
+        """Pallas slot body: ONE fused element-kernel call parses the 3-bit
+        tag, headers and coefficients on the kernel's resident bit window
+        and runs the 2-pass entropy walk (walk_kernel._element_kernel).
+        The XLA side keeps only the rare-element bookkeeping: DSE/FIL skip
+        lengths, END alignment, channel-counter advance, and the one-hot
+        metadata commits.  Replaces the gathered `_parse_elem` (~25
+        minor-axis field gathers, ~1 ms/slot at B=2048) for the dense path."""
+        from .walk_kernel import (
+            M_BSF, M_COEFS_U, M_COEFS_V, M_COMP, M_CPE, M_DEN_U, M_DEN_V,
+            M_ESC, M_ESC_BASE, M_ESC_END, M_MIXBITS, M_MIXRES, M_MODE_U,
+            M_MODE_V, M_NS, M_NUM_U, M_NUM_V, M_SCE, M_SHIFT_BASE, M_TAG,
+            dense_element_pallas,
+        )
+
+        bitpos = st["bitpos"]
+        chan = st["chan"]
+        err = st["err"]
+
+        active = ~st["done"] & (err == ERR_NONE)
+
+        # Past-end check before the tag read (decoder.go:143-145).
+        over = active & (sshr(bitpos, 3) >= sshr(size_bits, 3))
+        err = jnp.where(over, ERR_OVERRUN, err)
+        active = active & ~over
+
+        allow_cpe = chan + 2 <= C
+        LB = cfg["lane_block"]
+        B_pad = words_t.shape[1]
+        passes_k = 2 if C > 1 else 1
+        res = st["res"]
+        zb = jnp.zeros(B, I32)
+
+        def pad(x, fill=0):
+            if B_pad == B:
+                return x
+            return jnp.concatenate([x, jnp.full((B_pad - B,), fill, x.dtype)])
+
+        def run(args):
+            bp, er, rs = args
+            rows, bp2, kerr, meta = dense_element_pallas(
+                words_t,
+                pad(bp),
+                pad(active.astype(I32)),
+                pad(size_bits),
+                pad(st["ns"]),
+                pad(allow_cpe.astype(I32)),
+                kb=cfg["kb"],
+                F=F,
+                LB=LB,
+                depth=depth,
+                pb_cfg=pb,
+                mb_cfg=cfg["mb"],
+                passes=passes_k,
+                interpret=cfg["impl"] == "pallas_interpret",
+            )
+            meta = meta[:, :B]
+            kerr = kerr[:B]
+            bp2 = bp2[:B]
+            is_comp_l = active & (meta[M_COMP] == 1)
+            is_cpe_l = active & (meta[M_CPE] == 1)
+            is_esc_l = active & (meta[M_ESC] == 1)
+
+            er = jnp.where(active & (kerr != ERR_NONE), kerr, er)
+
+            # Residual merge: pre-walk activity (kerr lanes keep their
+            # garbage rows; the exact-oracle fallback replaces them).
+            act_u = is_comp_l
+            act_v = is_comp_l & is_cpe_l
+            F_pad = rows.shape[0] // passes_k
+            rows_u = rows[:F, :B]
+            out = []
+            for c in range(C):
+                seg = jnp.where((act_u & (chan == c))[None, :], rows_u, rs[c])
+                if passes_k == 2:
+                    rows_v = rows[F_pad : F_pad + F, :B]
+                    seg = jnp.where(
+                        (act_v & (chan + 1 == c))[None, :], rows_v, seg
+                    )
+                out.append(seg)
+
+            nbp = jnp.where(act_u, bp2, bp)
+            nbp = jnp.where(is_esc_l, meta[M_ESC_END], nbp)
+            small = tuple(
+                meta[i]
+                for i in (
+                    M_TAG, M_NS, M_BSF, M_ESC, M_COMP, M_MIXBITS, M_MIXRES,
+                    M_MODE_U, M_DEN_U, M_NUM_U, M_MODE_V, M_DEN_V, M_NUM_V,
+                    M_SHIFT_BASE, M_ESC_BASE, M_ESC_END, M_SCE, M_CPE,
+                )
+            )
+            return (nbp, er, tuple(out)) + small + (
+                meta[M_COEFS_U : M_COEFS_U + 32].T,
+                meta[M_COEFS_V : M_COEFS_V + 32].T,
+            )
+
+        def skip(args):
+            bp, er, rs = args
+            zc = jnp.zeros((B, 32), I32)
+            return (bp, er, rs) + tuple(zb for _ in range(18)) + (zc, zc)
+
+        (
+            new_bitpos, err, res,
+            m_tag, m_ns, m_bsf, m_esc, m_comp, m_mixbits, m_mixres,
+            m_mode_u, m_den_u, m_num_u, m_mode_v, m_den_v, m_num_v,
+            m_shift_base, m_esc_base, m_esc_end, m_sce, m_cpe,
+            coefs_u, coefs_v,
+        ) = jax.lax.cond(jnp.any(active), run, skip, (bitpos, err, res))
+
+        # Flags from the kernel's validated parse (masked to this slot's
+        # active lanes; padded/idle lanes carry zeros).
+        is_sce = active & (m_sce == 1)
+        is_cpe = active & (m_cpe == 1)
+        is_comp = active & (m_comp == 1)
+        is_escape = active & (m_esc == 1)
+        is_elem = is_sce | is_cpe
+        escf = is_escape.astype(I32)
+        cpe_break = active & (m_tag == 1) & (chan + 2 > C)
+        is_dse = active & (m_tag == 4)
+        is_fil = active & (m_tag == 6)
+        is_end = active & (m_tag == 7)
+        p0 = bitpos + 3
+
+        ns = jnp.where(is_elem, m_ns, st["ns"])
+        bsf = m_bsf
+        cb_comp = depth - bsf * 8 + jnp.where(is_cpe, 1, 0)
+        esc_cb = jnp.where(is_cpe, depth, depth - bsf * 8)
+        mixbits, mixres = m_mixbits, m_mixres
+        mode_u, den_u, num_u = m_mode_u, m_den_u, m_num_u
+        mode_v, den_v, num_v = m_mode_v, m_den_v, m_num_v
+        shift_base, esc_base = m_shift_base, m_esc_base
+
+        # --- DSE/FIL skips, gated (rare elements) ---
+        def _parse_skip():
+            # DSE (decoder.go:554-574)
+            d_align = vread(words, p0 + 4, 1)
+            d_cnt = vread(words, p0 + 5, 8)
+            d_cnt2 = vread(words, p0 + 13, 8)
+            d_has2 = d_cnt == 255
+            d_total = d_cnt + jnp.where(d_has2, d_cnt2, 0)
+            p_dse = p0 + 5 + 8 + jnp.where(d_has2, 8, 0)
+            p_dse = jnp.where(d_align == 1, (p_dse + 7) & ~7, p_dse)
+            p_dse = p_dse + d_total * 8
+            err_l = jnp.where(
+                is_dse & (sshr(p_dse, 3) >= sshr(size_bits, 3)), ERR_OVERRUN, err
+            )
+            # FIL (decoder.go:538-551)
+            f_cnt = vread(words, p0, 4)
+            f_has2 = f_cnt == 15
+            f_cnt2 = vread(words, p0 + 4, 8)
+            f_total = f_cnt + jnp.where(f_has2, f_cnt2 - 1, 0)
+            p_fil = p0 + 4 + jnp.where(f_has2, 8, 0) + f_total * 8
+            err_l = jnp.where(
+                is_fil & (sshr(p_fil, 3) >= sshr(size_bits, 3)), ERR_OVERRUN, err_l
+            )
+            return p_dse, p_fil, err_l
+
+        p_dse, p_fil, err = jax.lax.cond(
+            jnp.any(is_dse | is_fil),
+            _parse_skip,
+            lambda: (jnp.zeros(B, I32), jnp.zeros(B, I32), err),
+        )
+
+        # --- END: byte-align then done (decoder.go:192-195) ---
+        p_end = (p0 + 7) & ~7
+
+        # --- Commit positions for non-entropy lanes (compressed + escape
+        # cursors were already applied inside `run`) ---
+        new_bitpos = jnp.where(is_dse & (err == ERR_NONE), p_dse, new_bitpos)
+        new_bitpos = jnp.where(is_fil & (err == ERR_NONE), p_fil, new_bitpos)
+        new_bitpos = jnp.where(is_end, p_end, new_bitpos)
+
+        # --- Record per-channel metadata ---
+        chan_u = jnp.where(is_elem, chan, C)  # dummy column when masked
+        chan_v = jnp.where(is_cpe, chan + 1, C)
+        out_u = offsets_table[jnp.clip(chan, 0, C - 1)]
+
+        cols_c2 = jnp.arange(C + 2, dtype=I32)[None, :]
+
+        def put(arr, col, val):
+            # Masked lanes carry col >= C, landing in the dummy columns.
+            # One-hot where instead of .at[].set: a (B,) scatter costs ~45us
+            # fixed on TPU and the commit does 17 of them per slot; the
+            # (B, C+2) select is pure fusible VPU work.
+            val = jnp.broadcast_to(jnp.asarray(val, arr.dtype), col.shape)
+            return jnp.where(col[:, None] == cols_c2, val[:, None], arr)
+
+        st2 = dict(st)
+        st2["order"] = put(put(st["order"], chan_u, jnp.where(is_comp, num_u, 0)), chan_v, jnp.where(is_comp, num_v, 0))
+        st2["mode"] = put(put(st["mode"], chan_u, jnp.where(is_comp, mode_u, 0)), chan_v, jnp.where(is_comp, mode_v, 0))
+        st2["den"] = put(put(st["den"], chan_u, jnp.where(is_comp, den_u, 0)), chan_v, jnp.where(is_comp, den_v, 0))
+        st2["cb"] = put(put(st["cb"], chan_u, jnp.where(is_comp, cb_comp, esc_cb)), chan_v, jnp.where(is_comp, cb_comp, esc_cb))
+        st2["bs"] = put(put(st["bs"], chan_u, jnp.where(is_comp, bsf, 0)), chan_v, jnp.where(is_comp, bsf, 0))
+        st2["esc"] = put(put(st["esc"], chan_u, escf), chan_v, escf)
+        st2["esc_base"] = put(put(st["esc_base"], chan_u, esc_base), chan_v, esc_base)
+        st2["esc_cb"] = put(put(st["esc_cb"], chan_u, esc_cb), chan_v, esc_cb)
+        st2["shift_base"] = put(put(st["shift_base"], chan_u, shift_base), chan_v, shift_base)
+        st2["mixbits"] = put(put(st["mixbits"], chan_u, jnp.where(is_cpe & is_comp, mixbits, 0)), chan_v, jnp.where(is_cpe & is_comp, mixbits, 0))
+        st2["mixres"] = put(put(st["mixres"], chan_u, jnp.where(is_cpe & is_comp, mixres, 0)), chan_v, jnp.where(is_cpe & is_comp, mixres, 0))
+        st2["role"] = put(put(st["role"], chan_u, jnp.where(is_cpe, 1, 0)), chan_v, 2)
+        st2["out_chan"] = put(put(st["out_chan"], chan_u, out_u), chan_v, out_u + 1)
+        st2["filled"] = put(put(st["filled"], chan_u, 1), chan_v, 1)
+        oh_u = (chan_u[:, None] == cols_c2)[:, :, None]  # (B, C+2, 1)
+        oh_v = (chan_v[:, None] == cols_c2)[:, :, None]
+        coefs = jnp.where(
+            oh_u, jnp.where(is_comp[:, None], coefs_u, 0)[:, None, :], st["coefs"]
+        )
+        coefs = jnp.where(
+            oh_v, jnp.where(is_comp[:, None], coefs_v, 0)[:, None, :], coefs
+        )
+        st2["coefs"] = coefs
+
+        # --- Advance channel counter / done flags ---
+        chan_new = chan + jnp.where(is_sce, 1, 0) + jnp.where(is_cpe, 2, 0)
+        done = st["done"] | is_end | cpe_break | (chan_new >= C)
+
+        st2["bitpos"] = new_bitpos
+        st2["chan"] = chan_new
+        st2["done"] = done
+        st2["err"] = err
+        st2["ns"] = ns
+        st2["res"] = res
+        return st2
+
+    body_fn = slot_body_dense if dense else slot_body
 
     # Early-exit slot loop: a homogeneous batch (the overwhelmingly common
     # case — every lane the same element layout) finishes in 2-3 iterations
@@ -887,7 +987,7 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
     def _slots_body(carry):
         slot, st = carry
-        return slot + 1, slot_body(slot, st)
+        return slot + 1, body_fn(slot, st)
 
     _, state = jax.lax.while_loop(
         _slots_cond, _slots_body, (jnp.asarray(0, I32), state)

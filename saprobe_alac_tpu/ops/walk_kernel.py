@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: dense-emission adaptive Golomb-Rice entropy decode.
+"""Pallas TPU kernels: dense-emission adaptive Golomb-Rice entropy decode,
+and the fused element kernel (header/coefficient parse + 2-pass walk).
 
 The XLA lane-parallel walk (ops/walk.py) hits a hard per-sample overhead
 floor on real TPUs: ~7 kernel fusions per decoded sample (~15us per
@@ -7,12 +8,12 @@ makes positioned writes the bottleneck.  Hardware reality: the VPU has no
 per-lane scatter/gather, so any "write residual at per-lane position
 count[lane]" formulation pays for it.
 
-This kernel removes both problems with a *dense emission schedule*: output
-row t is produced by every lane at step t — a lane either decodes its next
-codeword, drains one zero from a pending zero-run (zero-runs cost no bits),
-or emits a dummy zero when done.  Staging row t therefore IS residual row t:
-no positioning, no scatter — rows stream to HBM at uniform offsets.  The
-price is worst-case window budgeting (a decoding row consumes at most 66
+The entropy kernel removes both problems with a *dense emission schedule*:
+output row t is produced by every lane at step t — a lane either decodes its
+next codeword, drains one zero from a pending zero-run (zero-runs cost no
+bits), or emits a dummy zero when done.  Staging row t therefore IS residual
+row t: no positioning, no scatter — rows stream to HBM at uniform offsets.
+The price is worst-case window budgeting (a decoding row consumes at most 66
 bits: escape codeword 9+32 plus zero-run code 9+16), giving K = 11
 guaranteed rows per 1024-bit register window.
 
@@ -32,10 +33,19 @@ Bit extraction from the 32 window registers uses 5-level binary select
 trees — pure vector ALU, measured ~50ns per decoded row per 1024 lanes
 on v5e (see docs/PERFORMANCE.md).
 
+The ELEMENT kernel (`dense_element_pallas`) additionally parses the SCE/CPE
+element header and predictor coefficients in a prologue on the same resident
+window (decoder.go:210-265, 348-460 semantics) before running the walk.
+On the XLA side those ~25 field reads were per-lane minor-axis gathers
+(~17ns/element, ~1ms per slot at B=2048); on the resident window they are a
+few thousand fused vector ops (~tens of us).  Escape, DSE/FIL, END and
+error/validation semantics match ops/walk.py's `_parse_elem` bit for bit.
+
 Behavioral parity: golomb.go:112-253 (adaptive Golomb, escape, zero-run
 semantics, uint32-wrap mean), bitbuffer.go:28-32 (zero-pad reads past the
-packet end).  Bit-for-bit equivalence with codec/golomb.py is enforced by
-tests/test_walk_kernel.py against the scalar oracle.
+packet end), decoder.go:210-265/348-460 (element headers, partial frames,
+escape, shift regions).  Bit-for-bit equivalence with the scalar oracle is
+enforced by tests/test_walk_kernel.py and the batch differential suites.
 """
 
 from __future__ import annotations
@@ -47,7 +57,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .walk import ERR_NONE, ERR_OVERRUN, ERR_SAMPLES  # shared error codes
+from .walk import (  # shared error codes
+    ERR_ELEMENT,
+    ERR_HEADER,
+    ERR_NONE,
+    ERR_OVERRUN,
+    ERR_SAMPLES,
+    ERR_SHIFT,
+    ERR_WIDTH,
+)
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -70,6 +88,12 @@ _REFRESH_AT = 896
 #: below _GROUP_AT keeps all its row starts below _REFRESH_AT even at the
 #: worst-case _WORST bits per row.
 _GROUP_AT = _REFRESH_AT - (_K_ROWS - 1) * _WORST  # = 434
+#: Parse-prologue refresh threshold before the V-channel predictor header:
+#: after a refresh the offset is <= 255 and the remaining V reads span at
+#: most 16 (mode/den + pbf/num) + 32*16 (coefs) + 32 (read slack) = 560
+#: bits -> 815 < 1024.  Without a refresh the V region must start below
+#: 1024 - 560 = 464.
+_PARSE_REFRESH = 448
 #: L1 scratch: per-lane superblock pair (2 x 32 blocks).
 _SB_BLOCKS = 32
 _L1_BLOCKS = 2 * _SB_BLOCKS  # 64 block rows
@@ -79,6 +103,16 @@ _L1_BLOCKS = 2 * _SB_BLOCKS  # 64 block rows
 #: budget, and the L1 rebuild is the only consumer).
 _CHUNK_ROWS = 64  # block rows per chunk
 _CHUNK_WORDS = _CHUNK_ROWS * _BLK
+
+#: Element-kernel metadata rows (kernel -> XLA), all absolute bit positions.
+META_ROWS = 82
+(
+    M_TAG, M_NS, M_BSF, M_ESC, M_COMP, M_MIXBITS, M_MIXRES,
+    M_MODE_U, M_DEN_U, M_NUM_U, M_MODE_V, M_DEN_V, M_NUM_V,
+    M_SHIFT_BASE, M_ESC_BASE, M_ESC_END, M_SCE, M_CPE,
+) = range(18)
+M_COEFS_U = 18  # rows 18..49
+M_COEFS_V = 50  # rows 50..81
 
 
 def _u(x):
@@ -132,70 +166,19 @@ def _wsel(regs, j):
     return level[0]
 
 
-def _dense_kernel(
-    words_hbm,  # (W_pad, B) int32 HBM (ANY): word-major packed streams
-    bitpos_ref,  # (SL, 128)
-    act_ref,  # (SL, 128) int32 mask
-    pb_ref,  # (SL, 128)
-    maxsz_ref,  # (SL, 128)
-    ns_ref,  # (SL, 128)
-    sizebits_ref,  # (SL, 128)
-    mb_ref,  # (SL, 128)
-    act2_ref,  # (SL, 128) pass-2 lane mask (all-zero when passes == 1)
-    pb2_ref,  # (SL, 128) pass-2 entropy tuning
-    rows_ref,  # (passes*F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY)
-    bitpos_out,  # (SL, 128)
-    err_out,  # (SL, 128)
-    chunk_ref,  # VMEM scratch (_CHUNK_WORDS, LB): streaming window over words
-    l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
-    win_ref,  # VMEM scratch (_NWIN*SL, 128): current 32-word window
-    stage_a,  # VMEM scratch (_K_ROWS, SL, 128): staging, even groups
-    stage_b,  # VMEM scratch (_K_ROWS, SL, 128): staging, odd groups
-    words_sem,
-    dma_a,  # DMA semaphore, even groups
-    dma_b,  # DMA semaphore, odd groups
-    *,
-    kb: int,
-    F: int,
-    W_pad: int,
-    LB: int,
-    passes: int = 1,
-    interpret: bool = False,
-    probe: str = "",
-):
-    SL = LB // 128
-    NB = W_pad // _BLK  # block rows in the stream
-    pid = pl.program_id(0)  # at body top: DMA index expressions need it
-    lane0 = pl.multiple_of(pid * LB, LB)
-    wb_mask = (1 << kb) - 1 if kb < 32 else -1
+def _mix(a, b, rbits):
+    """32 bits starting rbits into the (a, b) word pair."""
+    return _s(
+        jax.lax.shift_left(_u(a), _u(rbits))
+        | jax.lax.shift_right_logical(
+            jax.lax.shift_right_logical(_u(b), U32(1)), _u(31 - rbits)
+        )
+    )
 
-    def vec(x):
-        return x.reshape(SL, 128)
 
-    bitpos = vec(bitpos_ref[...])
-    act0 = vec(act_ref[...])
-    pbl = vec(pb_ref[...])
-    max_size = vec(maxsz_ref[...])
-    ns = vec(ns_ref[...])
-    size_bits = vec(sizebits_ref[...])
-    mb0 = vec(mb_ref[...])
-    # Pass-2 lanes get the same zero-sample guard as pass 1.
-    act2v = vec(act2_ref[...]) * (vec(ns_ref[...]) > 0).astype(I32)
-    pb2 = vec(pb2_ref[...])
-
-    # Inactive lanes keep bitpos; guard against negative cursors up front.
-    act = act0 * (ns > 0).astype(I32)
-
-    # Staged row groups, rounded to a PAIR (matches the F_pad rounding in
-    # the wrapper: the group loop runs two groups per iteration).  With
-    # passes == 2 the loop simply keeps going: rows F_pad.. hold the second
-    # channel, whose residual block follows the first in the bitstream.
-    NPAIR = pl.cdiv(F, 2 * _K_ROWS)  # group pairs per pass
-    NR = passes * 2 * NPAIR
-
-    # ---- initial L1 fill + loop state ----
-    bi0 = _sshr(bitpos, 8)  # window block index
-    sb0 = _sshr(bi0, 5)  # superblock (32-block) index
+def _stream_fns(words_hbm, chunk_ref, l1_ref, win_ref, words_sem, SL, LB, NB, lane0):
+    """Build the two-level one-hot stream fetch pipeline (shared by the raw
+    entropy kernel and the fused element kernel)."""
 
     def l1_fill(sb):
         """Rebuild the per-lane superblock pair: l1[slot] = block sb*32+slot,
@@ -252,8 +235,6 @@ def _dense_kernel(
 
         jax.lax.fori_loop(0, NB // _CHUNK_ROWS, chunk, 0)
 
-    l1_fill(sb0)
-
     def refill_window(bi, sb):
         """Select the 4 window blocks bi..bi+3 from the 64-row L1 scratch
         into win_ref.  Out-of-range rows contribute zero (reference zero-pad
@@ -275,29 +256,45 @@ def _dense_kernel(
             for w in range(_BLK):
                 win_ref[pl.ds((t * _BLK + w) * SL, SL), :] = accs[t][w]
 
-    refill_window(bi0, sb0)
+    return l1_fill, refill_window
 
-    def _mix(a, b, rbits):
-        """32 bits starting rbits into the (a, b) word pair."""
-        return _s(
-            jax.lax.shift_left(_u(a), _u(rbits))
-            | jax.lax.shift_right_logical(
-                jax.lax.shift_right_logical(_u(b), U32(1)), _u(31 - rbits)
-            )
-        )
 
+def _walk_groups(
+    st0,
+    *,
+    l1_fill,
+    refill_window,
+    win_ref,
+    rows_ref,
+    stage_a,
+    stage_b,
+    dma_a,
+    dma_b,
+    pid,
+    SL,
+    kb,
+    NPAIR,
+    NR,
+    trips,
+    passes,
+    act2v,
+    pb2,
+    mb0,
+    max_size,
+    ns,
+    size_bits,
+    interpret,
+    probe,
+):
+    """The dense-emission group loop (shared by both kernels).
+
+    st0 = (act, off, err, count, mean, zmode, zrem, base, sb, pbl); `trips`
+    is the number of group PAIRS to run (may be traced: the element kernel
+    skips the all-idle second pass of an SCE-only batch).  Returns the final
+    state after draining the two in-flight staging copies."""
+    wb_mask = (1 << kb) - 1 if kb < 32 else -1
     z = jnp.zeros((SL, 128), I32)
 
-    def win_at(w4, r, d):
-        """win32(off+d) from the shared words, d a vector in [0, 72]."""
-        rz = r + d
-        q = _sshr(rz, 5)  # 0..2
-        rr = rz & 31
-        a = jnp.where(q == 0, w4[0], jnp.where(q == 1, w4[1], w4[2]))
-        b = jnp.where(q == 0, w4[1], jnp.where(q == 1, w4[2], w4[3]))
-        return _mix(a, b, rr)
-
-    # ---- main loop over staged row groups ----
     def one_group(g, st, stage, sem, not_first):
         act, off, err, count, mean, zmode, zrem, base, sb, pbl = st
 
@@ -441,6 +438,15 @@ def _dense_kernel(
             act = act * (count < ns).astype(I32) * (err == ERR_NONE).astype(I32)
             return act, off, err, count, mean, zmode, zrem
 
+        def win_at(w4, r, d):
+            """win32(off+d) from the shared words, d a vector in [0, 72]."""
+            rz = r + d
+            q = _sshr(rz, 5)  # 0..2
+            rr = rz & 31
+            a = jnp.where(q == 0, w4[0], jnp.where(q == 1, w4[1], w4[2]))
+            b = jnp.where(q == 0, w4[1], jnp.where(q == 1, w4[2], w4[3]))
+            return _mix(a, b, rr)
+
         # A synchronous per-group start+wait stalls ~40% of the kernel; the
         # copy of the SAME slot two groups back must be done before this
         # group's stores reuse the buffer, so wait for it here (a full
@@ -497,6 +503,105 @@ def _dense_kernel(
         st = one_group(2 * gp + 1, st, stage_b, dma_b, gp > 0)
         return st
 
+    st = jax.lax.fori_loop(0, trips, group_pair, st0)
+
+    # Drain the two in-flight copies (descriptor offsets name the last pair;
+    # only the semaphore + transfer size matter for the wait).  With a
+    # traced trip count the loop may not have run at all (all-idle slot):
+    # never wait on a semaphore no copy was started against.
+    if "nodma" not in probe and not interpret:
+
+        def _drain():
+            pltpu.make_async_copy(
+                stage_a, rows_ref.at[pl.ds((NR - 2) * _K_ROWS, _K_ROWS), pid], dma_a
+            ).wait()
+            pltpu.make_async_copy(
+                stage_b, rows_ref.at[pl.ds((NR - 1) * _K_ROWS, _K_ROWS), pid], dma_b
+            ).wait()
+
+        if isinstance(trips, int):
+            _drain()
+        else:
+
+            @pl.when(trips > 0)
+            def _():
+                _drain()
+
+    return st
+
+
+def _dense_kernel(
+    words_hbm,  # (W_pad, B) int32 HBM (ANY): word-major packed streams
+    bitpos_ref,  # (SL, 128)
+    act_ref,  # (SL, 128) int32 mask
+    pb_ref,  # (SL, 128)
+    maxsz_ref,  # (SL, 128)
+    ns_ref,  # (SL, 128)
+    sizebits_ref,  # (SL, 128)
+    mb_ref,  # (SL, 128)
+    act2_ref,  # (SL, 128) pass-2 lane mask (all-zero when passes == 1)
+    pb2_ref,  # (SL, 128) pass-2 entropy tuning
+    rows_ref,  # (passes*F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY)
+    bitpos_out,  # (SL, 128)
+    err_out,  # (SL, 128)
+    chunk_ref,  # VMEM scratch (_CHUNK_WORDS, LB): streaming window over words
+    l1_ref,  # VMEM scratch (_L1_BLOCKS*_BLK, LB): per-lane superblock pair
+    win_ref,  # VMEM scratch (_NWIN*SL, 128): current 32-word window
+    stage_a,  # VMEM scratch (_K_ROWS, SL, 128): staging, even groups
+    stage_b,  # VMEM scratch (_K_ROWS, SL, 128): staging, odd groups
+    words_sem,
+    dma_a,  # DMA semaphore, even groups
+    dma_b,  # DMA semaphore, odd groups
+    *,
+    kb: int,
+    F: int,
+    W_pad: int,
+    LB: int,
+    passes: int = 1,
+    interpret: bool = False,
+    probe: str = "",
+):
+    SL = LB // 128
+    NB = W_pad // _BLK  # block rows in the stream
+    pid = pl.program_id(0)  # at body top: DMA index expressions need it
+    lane0 = pl.multiple_of(pid * LB, LB)
+
+    def vec(x):
+        return x.reshape(SL, 128)
+
+    bitpos = vec(bitpos_ref[...])
+    act0 = vec(act_ref[...])
+    pbl = vec(pb_ref[...])
+    max_size = vec(maxsz_ref[...])
+    ns = vec(ns_ref[...])
+    size_bits = vec(sizebits_ref[...])
+    mb0 = vec(mb_ref[...])
+    # Pass-2 lanes get the same zero-sample guard as pass 1.
+    act2v = vec(act2_ref[...]) * (vec(ns_ref[...]) > 0).astype(I32)
+    pb2 = vec(pb2_ref[...])
+
+    # Inactive lanes keep bitpos; guard against negative cursors up front.
+    act = act0 * (ns > 0).astype(I32)
+
+    # Staged row groups, rounded to a PAIR (matches the F_pad rounding in
+    # the wrapper: the group loop runs two at a time — double-buffered
+    # staging).  With passes == 2 the loop simply keeps going: rows F_pad..
+    # hold the second channel, whose residual block follows the first in
+    # the bitstream.
+    NPAIR = pl.cdiv(F, 2 * _K_ROWS)  # group pairs per pass
+    NR = passes * 2 * NPAIR
+
+    l1_fill, refill_window = _stream_fns(
+        words_hbm, chunk_ref, l1_ref, win_ref, words_sem, SL, LB, NB, lane0
+    )
+
+    # ---- initial L1 fill + loop state ----
+    bi0 = _sshr(bitpos, 8)  # window block index
+    sb0 = _sshr(bi0, 5)  # superblock (32-block) index
+    l1_fill(sb0)
+    refill_window(bi0, sb0)
+
+    z = jnp.zeros((SL, 128), I32)
     st = (
         act,
         bitpos & 255,
@@ -509,25 +614,332 @@ def _dense_kernel(
         sb0,
         pbl,
     )
-    act, off, err, count, mean, zmode, zrem, base, sb, pbl = jax.lax.fori_loop(
-        0, NR // 2, group_pair, st
+    act, off, err, count, mean, zmode, zrem, base, sb, pbl = _walk_groups(
+        st,
+        l1_fill=l1_fill,
+        refill_window=refill_window,
+        win_ref=win_ref,
+        rows_ref=rows_ref,
+        stage_a=stage_a,
+        stage_b=stage_b,
+        dma_a=dma_a,
+        dma_b=dma_b,
+        pid=pid,
+        SL=SL,
+        kb=kb,
+        NPAIR=NPAIR,
+        NR=NR,
+        trips=NR // 2,
+        passes=passes,
+        act2v=act2v,
+        pb2=pb2,
+        mb0=mb0,
+        max_size=max_size,
+        ns=ns,
+        size_bits=size_bits,
+        interpret=interpret,
+        probe=probe,
     )
-
-    # Drain the two in-flight copies (descriptor offsets name the last pair;
-    # only the semaphore + transfer size matter for the wait).
-    if "nodma" not in probe and not interpret:
-        pltpu.make_async_copy(
-            stage_a, rows_ref.at[pl.ds((NR - 2) * _K_ROWS, _K_ROWS), pid], dma_a
-        ).wait()
-        pltpu.make_async_copy(
-            stage_b, rows_ref.at[pl.ds((NR - 1) * _K_ROWS, _K_ROWS), pid], dma_b
-        ).wait()
 
     # Lanes still active after NR groups decoded every row; lanes that died
     # with an error keep their code.  (The XLA walk's divergence guard is not
     # needed: the row count is statically F.)
     bitpos_out[...] = jnp.where(act0 == 1, base + off, bitpos).reshape(bitpos_ref.shape)
     err_out[...] = err.reshape(bitpos_ref.shape)
+
+
+def _element_kernel(
+    words_hbm,  # (W_pad, B) int32 HBM (ANY): word-major packed streams
+    bitpos_ref,  # (SL, 128) element-start bit positions
+    pact_ref,  # (SL, 128) int32: lanes at an element this slot
+    sizebits_ref,  # (SL, 128)
+    ns_ref,  # (SL, 128) incoming per-packet sample count (partial default)
+    allowcpe_ref,  # (SL, 128) int32: chan + 2 <= C
+    rows_ref,  # (passes*F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY)
+    bitpos_out,  # (SL, 128) post-entropy cursor for compressed lanes
+    err_out,  # (SL, 128)
+    meta_ref,  # (1, META_ROWS, SL, 128) parsed element metadata + coefs
+    chunk_ref,
+    l1_ref,
+    win_ref,
+    stage_a,
+    stage_b,
+    words_sem,
+    dma_a,
+    dma_b,
+    *,
+    kb: int,
+    F: int,
+    W_pad: int,
+    LB: int,
+    depth: int,
+    pb_cfg: int,
+    mb_cfg: int,
+    passes: int,
+    interpret: bool = False,
+    probe: str = "",
+):
+    """Fused SCE/CPE element decode: parse the 3-bit tag, element header,
+    per-channel predictor headers and int16 coefficients on the resident
+    bit window (decoder.go:210-265/348-460), then run the 2-pass entropy
+    walk from the computed entropy start.  Field-for-field parity with
+    ops/walk.py `_parse_elem` (same reads, same error codes, same
+    precedence); DSE/FIL/END handling stays in the XLA slot loop."""
+    SL = LB // 128
+    NB = W_pad // _BLK
+    pid = pl.program_id(0)
+    lane0 = pl.multiple_of(pid * LB, LB)
+
+    def vec(x):
+        return x.reshape(SL, 128)
+
+    bitpos = vec(bitpos_ref[...])
+    pa = vec(pact_ref[...])
+    size_bits = vec(sizebits_ref[...])
+    ns_in = vec(ns_ref[...])
+    allow_cpe = vec(allowcpe_ref[...])
+
+    NPAIR = pl.cdiv(F, 2 * _K_ROWS)
+    NR = passes * 2 * NPAIR
+
+    l1_fill, refill_window = _stream_fns(
+        words_hbm, chunk_ref, l1_ref, win_ref, words_sem, SL, LB, NB, lane0
+    )
+
+    z = jnp.zeros((SL, 128), I32)
+
+    # ---- parse prologue ----
+    bi0 = _sshr(bitpos, 8)
+    sb = _sshr(bi0, 5)
+    l1_fill(sb)
+    refill_window(bi0, sb)
+    base = _shl(bi0, 8)
+
+    def wtab_now():
+        ws = [win_ref[pl.ds(i * SL, SL), :] for i in range(_NWIN)]
+        return [ws, ws[1:] + [z]]
+
+    def rd(wt, p, n):
+        """n-bit read (n static, <= 32) at absolute per-lane bit position p;
+        two select trees + the zero-guarded 32-bit mix, as streambits."""
+        o = p - base
+        j = _sshr(o, 5)
+        a = _wsel(wt[0], j)
+        b = _wsel(wt[1], j)
+        return _ushr(_mix(a, b, o & 31), 32 - n)
+
+    wt = wtab_now()
+
+    pab = pa == 1
+    tag = rd(wt, bitpos, 3)
+    p0 = bitpos + 3
+
+    is_sce = pab & ((tag == 0) | (tag == 3))
+    is_cpe = pab & (tag == 1) & (allow_cpe == 1)
+    is_elem = is_sce | is_cpe
+    err = jnp.where(pab & ((tag == 2) | (tag == 5)), ERR_ELEMENT, z)
+
+    # (decoder.go:210-235 / 348-375): 4-bit instance tag skipped, 12 unused
+    # bits must be zero, then partial/bytesShifted/escape flags.
+    unused = rd(wt, p0 + 4, 12)
+    hdr4 = rd(wt, p0 + 16, 4)
+    partial = _sshr(hdr4, 3)
+    bsf = _sshr(hdr4, 1) & 3
+    escf = hdr4 & 1
+
+    err = jnp.where(is_elem & (unused != 0), ERR_HEADER, err)
+    err = jnp.where(is_elem & (bsf == 3), ERR_SHIFT, err)
+    is_elem = is_elem & (err == ERR_NONE)
+    is_sce = is_sce & is_elem
+    is_cpe = is_cpe & is_elem
+
+    p = p0 + 20
+    ns_part = rd(wt, p, 32)
+    ns_new = jnp.where(is_elem & (partial == 1), ns_part, ns_in)
+    err = jnp.where(is_elem & ((ns_new > F) | (ns_new < 0)), ERR_SAMPLES, err)
+    is_elem = is_elem & (err == ERR_NONE)
+    is_sce = is_sce & is_elem
+    is_cpe = is_cpe & is_elem
+    p = p + jnp.where(is_elem & (partial == 1), 32, 0)
+    ns_l = jnp.where(is_elem, ns_new, ns_in)
+
+    # chan_bits (decoder.go:230, 371); escape resets (:326, 388); widths
+    # outside [1, 32] hit degenerate Go shift-saturation paths -> flag for
+    # the exact scalar fallback rather than emulate.
+    cb_comp = depth - bsf * 8 + jnp.where(is_cpe, 1, 0)
+    esc_cb = jnp.where(is_cpe, z + depth, depth - bsf * 8)
+    bad_width = (escf == 0) & ((cb_comp > 32) | (cb_comp < 1))
+    bad_width = bad_width | ((escf == 1) & (esc_cb < 1))
+    err = jnp.where(is_elem & bad_width, ERR_WIDTH, err)
+    is_elem = is_elem & (err == ERR_NONE)
+    is_sce = is_sce & is_elem
+    is_cpe = is_cpe & is_elem
+
+    is_comp = is_elem & (escf == 0)
+    is_escape = is_elem & (escf == 1)
+
+    # Mix info + U-channel predictor header (read for every lane; values
+    # are masked downstream exactly as the XLA parse does).
+    mixbits = rd(wt, p, 8)
+    mixres8 = rd(wt, p + 8, 8)
+    mixres = jnp.where(mixres8 >= 128, mixres8 - 256, mixres8)
+    pc = p + 16
+
+    b1 = rd(wt, pc, 8)
+    mode_u = _sshr(b1, 4)
+    den_u = b1 & 15
+    b2 = rd(wt, pc + 8, 8)
+    pbf_u = _sshr(b2, 5)
+    num_u = b2 & 31
+
+    def coef_loop(wt, p0c, num, mask):
+        """32 predicated 16-bit reads at p0c + 16j; rows j >= num stay 0.
+        One stacked (32, SL, 128) carry (separate per-row carries are an
+        invalid Mosaic relayout)."""
+        riota = jax.lax.broadcasted_iota(I32, (32, SL, 128), 0)
+
+        def body(j, acc):
+            jv = z + j  # vectorize the trip index (scalar-vs-vector compare)
+            cj = rd(wt, p0c + 16 * jv, 16)
+            cj = jnp.where(cj >= 32768, cj - 65536, cj)  # sext16
+            cj = jnp.where(mask & (jv < num), cj, 0)
+            return jnp.where((riota - j) == 0, cj[None], acc)
+
+        return jax.lax.fori_loop(0, 32, body, jnp.zeros((32, SL, 128), I32))
+
+    # U coefficients: worst span from a fresh window start is 23 (header)
+    # + 32 (partial) + 16 (mix) + 16 (pred hdr) + 512 (coefs) + 32 (read
+    # slack) = 886 < 1024 — always inside the current window.
+    cu0 = pc + 16
+    coefs_u = coef_loop(wt, cu0, num_u, is_comp)
+    p_after_u = cu0 + 16 * num_u
+
+    # The V-channel region can extend past the window; refresh first when
+    # any parsing CPE lane is deep enough in (same machinery as the group
+    # loop; per-lane window re-select).
+    offv = p_after_u - base
+    needw = jnp.any(is_cpe & is_comp & (offv >= _PARSE_REFRESH))
+    biv = _sshr(p_after_u, 8)
+    need_l1 = needw & jnp.any(
+        is_cpe & is_comp & (biv - sb * _SB_BLOCKS > _L1_BLOCKS - 1 - _WIN_BLOCKS)
+    )
+    sb = jnp.where(need_l1, _sshr(biv, 5), sb)
+
+    @pl.when(need_l1)
+    def _():
+        l1_fill(sb)
+
+    @pl.when(needw)
+    def _():
+        refill_window(biv, sb)
+
+    base = jnp.where(needw, _shl(biv, 8), base)
+    wt = wtab_now()
+
+    b3 = rd(wt, p_after_u, 8)
+    mode_v = _sshr(b3, 4)
+    den_v = b3 & 15
+    b4 = rd(wt, p_after_u + 8, 8)
+    pbf_v = _sshr(b4, 5)
+    num_v = b4 & 31
+    cv0 = p_after_u + 16
+    coefs_v = coef_loop(wt, cv0, num_v, is_cpe & is_comp)
+    p_after_v = cv0 + 16 * num_v
+
+    p_pred = jnp.where(is_cpe, p_after_v, p_after_u)
+
+    # Shift region: saved cursor, then skipped (decoder.go:289-293,
+    # 453-457).  Escape raw data begins right after the element header.
+    shift_base = p_pred
+    nch_elem = 1 + jnp.where(is_cpe, 1, 0)
+    p_ent = p_pred + jnp.where(is_comp, bsf * 8 * nch_elem * ns_l, 0)
+
+    esc_base = p
+    p_esc_end = p + ns_l * esc_cb * nch_elem
+    err = jnp.where(is_escape & (p_esc_end > size_bits), ERR_OVERRUN, err)
+    is_escape = is_escape & (err == ERR_NONE)
+    is_elem = is_elem & (err == ERR_NONE)
+    is_comp = is_comp & is_elem
+
+    # ---- metadata out (written before the walk; flushed at kernel end) ----
+    meta_vals = [
+        tag, ns_l, bsf, is_escape.astype(I32), is_comp.astype(I32),
+        mixbits, mixres, mode_u, den_u, num_u, mode_v, den_v, num_v,
+        shift_base, esc_base, p_esc_end,
+        is_sce.astype(I32), is_cpe.astype(I32),
+    ]
+    meta_ref[...] = jnp.concatenate(
+        [jnp.stack(meta_vals), coefs_u, coefs_v], axis=0
+    ).reshape(meta_ref.shape)
+
+    # ---- entropy walk init (the XLA glue's run_uv, now in-register) ----
+    act_u = is_comp.astype(I32)
+    pb_u = _sshr(pb_cfg * pbf_u, 2)
+    pb_v = _sshr(pb_cfg * pbf_v, 2)
+    mb0 = z + mb_cfg
+    act2v = (is_cpe & is_comp).astype(I32) * (ns_l > 0).astype(I32)
+    act_w = act_u * (ns_l > 0).astype(I32)
+
+    # Walk-start window state: keep the current base and let the group
+    # loop's refresh machinery normalize (off >= _GROUP_AT triggers the
+    # per-lane re-select; the shift-region skip can jump arbitrarily far
+    # and the need_l1 path handles any distance).
+    st0 = (act_w, p_ent - base, err, z, mb0, z, z, base, sb, pb_u)
+
+    # Slots with no compressed lane at all (END/DSE/FIL-only, all-escape)
+    # skip the walk loop entirely, and SCE-only batches (or mono) never
+    # activate pass 2: skip its all-idle groups (their staged zeros are
+    # never read — inactive lanes' rows are select-merged away in XLA).
+    any_w = jnp.any(act_w == 1)
+    if passes == 2:
+        trips = jnp.where(
+            any_w, jnp.where(jnp.any(act2v == 1), NR // 2, NR // 4), 0
+        )
+    else:
+        trips = jnp.where(any_w, NR // 2, 0)
+
+    act_f, off, err, count, mean, zmode, zrem, base, sb, pbl = _walk_groups(
+        st0,
+        l1_fill=l1_fill,
+        refill_window=refill_window,
+        win_ref=win_ref,
+        rows_ref=rows_ref,
+        stage_a=stage_a,
+        stage_b=stage_b,
+        dma_a=dma_a,
+        dma_b=dma_b,
+        pid=pid,
+        SL=SL,
+        kb=kb,
+        NPAIR=NPAIR,
+        NR=NR,
+        trips=trips,
+        passes=passes,
+        act2v=act2v,
+        pb2=pb_v,
+        mb0=mb0,
+        max_size=cb_comp,
+        ns=ns_l,
+        size_bits=size_bits,
+        interpret=interpret,
+        probe=probe,
+    )
+
+    bitpos_out[...] = jnp.where(act_u == 1, base + off, bitpos).reshape(bitpos_ref.shape)
+    err_out[...] = err.reshape(bitpos_ref.shape)
+
+
+def _pad_words(words_t):
+    """Round the word axis up to a whole L1 chunk (zero rows = the
+    reference's zero pad)."""
+    W_pad, B = words_t.shape
+    if W_pad % _CHUNK_WORDS:
+        pad_rows = _CHUNK_WORDS - W_pad % _CHUNK_WORDS
+        words_t = jnp.concatenate(
+            [words_t, jnp.zeros((pad_rows, B), words_t.dtype)], axis=0
+        )
+        W_pad += pad_rows
+    return words_t, W_pad
 
 
 @functools.partial(
@@ -548,16 +960,9 @@ def dense_entropy_pallas(
     L1/window pipeline — the V stream starts exactly where U ended, so the
     window is already resident.
     """
-    W_pad, B = words_t.shape
+    words_t, W_pad = _pad_words(words_t)
+    B = words_t.shape[1]
     assert B % LB == 0, (B, LB)
-    # The L1 rebuild streams the words through fixed-size chunks; round the
-    # word axis up to a whole chunk (zero rows = the reference's zero pad).
-    if W_pad % _CHUNK_WORDS:
-        pad_rows = _CHUNK_WORDS - W_pad % _CHUNK_WORDS
-        words_t = jnp.concatenate(
-            [words_t, jnp.zeros((pad_rows, B), words_t.dtype)], axis=0
-        )
-        W_pad += pad_rows
     SL = LB // 128
     # Rounded to a PAIR of groups: the group loop runs two at a time
     # (double-buffered staging).
@@ -631,3 +1036,94 @@ def dense_entropy_pallas(
     # (passes*F_pad, NB, SL, 128) -> (passes*F_pad, B): minor-dim collapse,
     # columns already in block-major lane order (lane = nb*LB + s*128 + l).
     return rows.reshape(passes * F_pad, B), bitpos2.reshape(B), err.reshape(B)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kb", "F", "LB", "depth", "pb_cfg", "mb_cfg", "passes", "interpret",
+        "probe",
+    ),
+)
+def dense_element_pallas(
+    words_t, bitpos, pact, size_bits, ns_in, allow_cpe,
+    *, kb, F, LB, depth, pb_cfg, mb_cfg, passes, interpret=False, probe=""
+):
+    """Fused element decode over a lane-blocked grid: in-kernel tag +
+    header + coefficient parse, then the 2-pass entropy walk.
+
+    Returns (rows (passes*F_pad, B), bitpos' (B), err (B), meta
+    (META_ROWS, B)).  `bitpos'` is the post-entropy cursor for compressed
+    lanes (input bitpos otherwise); meta rows are the M_* constants, with
+    coefficients at rows M_COEFS_U.. and M_COEFS_V.. (already sign-extended
+    int16 values).
+    """
+    words_t, W_pad = _pad_words(words_t)
+    B = words_t.shape[1]
+    assert B % LB == 0, (B, LB)
+    SL = LB // 128
+    F_pad = ((F + 2 * _K_ROWS - 1) // (2 * _K_ROWS)) * (2 * _K_ROWS)
+    nblocks = B // LB
+
+    kern = functools.partial(
+        _element_kernel, kb=kb, F=F, W_pad=W_pad, LB=LB, depth=depth,
+        pb_cfg=pb_cfg, mb_cfg=mb_cfg, passes=passes, interpret=interpret,
+        probe=probe,
+    )
+
+    lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    meta_spec = pl.BlockSpec(
+        (1, META_ROWS, SL, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def lanes(x):
+        return x.reshape(nblocks, SL, 128)
+
+    rows, bitpos2, err, meta = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            lane_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            lane_spec,
+            lane_spec,
+            meta_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((passes * F_pad, nblocks, SL, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, SL, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, META_ROWS, SL, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_CHUNK_WORDS, LB), jnp.int32),
+            pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
+            pltpu.VMEM((_NWIN * SL, 128), jnp.int32),
+            pltpu.VMEM((_K_ROWS, SL, 128), jnp.int32),
+            pltpu.VMEM((_K_ROWS, SL, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        words_t,
+        lanes(bitpos),
+        lanes(pact.astype(jnp.int32)),
+        lanes(size_bits),
+        lanes(ns_in),
+        lanes(allow_cpe.astype(jnp.int32)),
+    )
+    return (
+        rows.reshape(passes * F_pad, B),
+        bitpos2.reshape(B),
+        err.reshape(B),
+        jnp.moveaxis(meta, 1, 0).reshape(META_ROWS, B),
+    )

@@ -105,7 +105,7 @@ def test_impl_flip_retraces_same_shape():
     jax.clear_caches()
     old = walk._IMPL
     fired = []
-    orig = wk.dense_entropy_pallas
+    orig = wk.dense_element_pallas
 
     def spy(*a, **k):
         fired.append(1)
@@ -114,11 +114,11 @@ def test_impl_flip_retraces_same_shape():
     try:
         walk._IMPL = "xla"
         want = JaxBatchDecoder(cfg).decode_packets(pkts)  # caches the shape
-        wk.dense_entropy_pallas = spy
+        wk.dense_element_pallas = spy
         walk._IMPL = "pallas_interpret"
         got = JaxBatchDecoder(cfg).decode_packets(pkts)  # same shape: must retrace
     finally:
         walk._IMPL = old
-        wk.dense_entropy_pallas = orig
+        wk.dense_element_pallas = orig
     assert fired, "kernel was not invoked after flipping _IMPL (stale jit cache)"
     assert got == want
