@@ -439,6 +439,22 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
             wt = jnp.concatenate(
                 [wt, jnp.zeros((wt.shape[0], B_pad - B), wt.dtype)], axis=1
             )
+        # Pre-round the word axis to a whole L1 chunk so the kernel wrapper's
+        # _pad_words is a no-op — otherwise every slot's kernel call pays a
+        # (W, B) zero-concat copy (~0.2 ms at production shapes).
+        from .walk_kernel import _CHUNK_WORDS
+
+        if wt.shape[0] % _CHUNK_WORDS:
+            wt = jnp.concatenate(
+                [
+                    wt,
+                    jnp.zeros(
+                        (_CHUNK_WORDS - wt.shape[0] % _CHUNK_WORDS, wt.shape[1]),
+                        wt.dtype,
+                    ),
+                ],
+                axis=0,
+            )
         words_t = wt
         cfg = dict(cfg, num_channels=C, lane_block=LB)
     offsets_table = jnp.asarray(
