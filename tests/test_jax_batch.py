@@ -209,3 +209,23 @@ def test_pack_packets_device_swap_parity():
     if not swapped:
         wd = wd.view(np.uint32).byteswap().view(np.int32)
     assert np.array_equal(ws, wd)
+
+
+def test_pack_packets_native_vs_fallback(monkeypatch):
+    """The C++ packer and the numpy fallback produce identical batches
+    (same words after the deferred byteswap, same sizes)."""
+    import numpy as np
+
+    from saprobe_alac_tpu import native
+    from saprobe_alac_tpu.ops.bitpack import pack_packets
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native core not loadable")
+    pkts = [bytes([(i * 7 + n) % 256 for i in range(n)]) for n in (1, 3, 4, 33, 400, 4099)]
+    wn, sn = pack_packets(pkts)
+    monkeypatch.setattr(native, "available", lambda: False)
+    wf, sf = pack_packets(pkts)
+    assert np.array_equal(sn, sf)
+    assert np.array_equal(wn, wf)
