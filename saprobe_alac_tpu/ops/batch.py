@@ -22,7 +22,7 @@ from ..codec import decode_packet as scalar_decode_packet
 from ..config import PacketConfig
 from ..formats import bytes_per_sample
 from .bitpack import pack_packets_device_swap
-from .epilogue import extract_escape, extract_shift, finish, pack_output
+from .epilogue import extract_escape, extract_shift, finish_packed
 from . import lpc as _lpc_mod
 from . import walk as _walk_mod
 from .lpc import _lpc_batch
@@ -125,8 +125,11 @@ def _decode_batch(
         lambda: extract_shift(words, w.shift_base, w.bs, w.role, F, C),
         lambda: jnp.zeros((F, C, B), jnp.int32),
     )
-    out = finish(mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, depth)
-    return pack_output(out, depth), w.err, w.ns
+    packed = finish_packed(
+        mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan,
+        w.filled, F, C, depth,
+    )
+    return packed, w.err, w.ns
 
 
 class JaxBatchDecoder:
@@ -180,6 +183,10 @@ class JaxBatchDecoder:
         depth = self.config.bit_depth
         C = self.config.num_channels
         if depth == 16:
+            if C % 2 == 0:
+                # finish_packed fused pairs: one int32 word per (frame,
+                # channel pair); LE int32 bytes == two LE int16 samples.
+                return packed_row[: ns * C // 2].tobytes()
             return packed_row[: ns * C].tobytes()
         if depth in (20, 24):
             return packed_row[: ns * C * 3].tobytes()

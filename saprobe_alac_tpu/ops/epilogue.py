@@ -83,6 +83,16 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_l
     pure select; the single relayout in the whole epilogue is the final
     (F, B, C) -> (B, F, C) transpose feeding the D2H byte packer.
     """
+    planes = _finish_planes(
+        mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled,
+        frame_length, num_channels, depth,
+    )
+    return jnp.stack(planes, axis=-1).transpose(1, 0, 2)
+
+
+def _finish_planes(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_length, num_channels, depth):
+    """finish() body up to (but not including) the lane-major relayout:
+    returns the C SMPTE-ordered (F, B) output planes."""
     F = frame_length
     C = num_channels
     B = mix.shape[1] // C
@@ -131,7 +141,43 @@ def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_l
             sel = ((filled[:, c] != 0) & (out_chan[:, c] == c_out))[None, :]
             acc = jnp.where(sel, chans[c], acc)
         planes.append(acc)
-    return jnp.stack(planes, axis=-1).transpose(1, 0, 2)
+    return planes
+
+
+def finish_packed(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_length, num_channels, depth):
+    """finish() + pack_output() with the 16-bit interleave fused.
+
+    For 16-bit even-channel batches, adjacent channel pairs pack into one
+    int32 word per frame WHILE still in the (F, B) plane layout —
+    little-endian int32 bytes are exactly two little-endian int16 samples
+    (matrix.go:30-63's 2-byte LE writer), so the one unavoidable
+    (F, ...) -> (B, ...) relayout moves half the bytes and the separate
+    int16 cast pass over the transposed array disappears.  All other
+    depths/channel counts fall back to finish() + pack_output().
+    """
+    if depth != 16 or num_channels % 2 != 0:
+        out = finish(
+            mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled,
+            frame_length, num_channels, depth,
+        )
+        return pack_output(out, depth)
+    planes = _finish_planes(
+        mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled,
+        frame_length, num_channels, depth,
+    )
+    C = num_channels
+    pairs = [
+        (planes[2 * i] & 0xFFFF)
+        | s(jax.lax.shift_left(u(planes[2 * i + 1]), U32(16)))
+        for i in range(C // 2)
+    ]
+    if C == 2:
+        packed = pairs[0].T  # (B, F): word f = (left_f, right_f)
+    else:
+        # (F, B, C/2) -> (B, F, C/2): word (f, i) = channels (2i, 2i+1).
+        packed = jnp.stack(pairs, axis=-1).transpose(1, 0, 2)
+    B = packed.shape[0]
+    return packed.reshape(B, (frame_length * C) // 2)
 
 
 @partial(jax.jit, static_argnames=("depth",))

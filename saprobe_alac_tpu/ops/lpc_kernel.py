@@ -206,28 +206,19 @@ def _lpc_kernel(
         dma_in.wait()
         chunk = res_stage[...]
 
-        if not interpret:
-            # Static unroll: chunk[rk] indexes with a Python int, and each
-            # stage store is a static-offset (SL, 128) tile store in the
-            # register-native layout — no per-row sublane-to-lane-tile
-            # relayout.
-            for rk in range(_CHUNK):
-                out_row, hist, coefs = row_step(ci * _CHUNK + rk, chunk[rk], hist, coefs)
-                stage_ref[pl.ds(rk, 1)] = out_row[None]
-        else:
-            # Interpreter driver: identical per-row math (row_step is the
-            # single shared implementation; the hardware driver above only
-            # unrolls the loop), but a fori keeps the emulated graph small —
-            # the unrolled form interprets ~5x slower.  The hardware driver
-            # itself is pinned on the real chip by hack/sweep_tpu.py.
-            def rbody(rk, st):
-                hist, coefs = st
-                delta = jax.lax.dynamic_index_in_dim(chunk, rk, 0, keepdims=False)
-                out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
-                stage_ref[pl.ds(rk, 1)] = out_row[None]
-                return hist, coefs
+        # One driver for hardware AND interpret (the tested code is the
+        # shipped code): a fori over the chunk rows.  Measured identical to
+        # a static 8-row unroll on the real chip (Mosaic schedules across
+        # the loop either way; bench.py delta < timing noise), and the
+        # unrolled form interprets ~5x slower.
+        def rbody(rk, st):
+            hist, coefs = st
+            delta = jax.lax.dynamic_index_in_dim(chunk, rk, 0, keepdims=False)
+            out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
+            stage_ref[pl.ds(rk, 1)] = out_row[None]
+            return hist, coefs
 
-            hist, coefs = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs))
+        hist, coefs = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs))
 
         dma = pltpu.make_async_copy(
             stage_ref,
@@ -264,7 +255,7 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
         kern,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             lane_spec,
             lane_spec,
             lane_spec,
@@ -273,7 +264,7 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
             lane_spec,
             pl.BlockSpec((taps, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((F_pad, nblocks, SL, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),

@@ -989,7 +989,7 @@ def dense_entropy_pallas(
         kern,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             lane_spec,
             lane_spec,
             lane_spec,
@@ -1001,7 +1001,7 @@ def dense_entropy_pallas(
             lane_spec,
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             lane_spec,
             lane_spec,
         ],
@@ -1083,7 +1083,7 @@ def dense_element_pallas(
         kern,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             lane_spec,
             lane_spec,
             lane_spec,
@@ -1091,7 +1091,7 @@ def dense_element_pallas(
             lane_spec,
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             lane_spec,
             lane_spec,
             meta_spec,

@@ -62,7 +62,7 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
 
     from ..ops.batch import _bucket
     from ..ops.bitpack import pack_packets
-    from ..ops.epilogue import extract_escape, extract_shift, finish, pack_output
+    from ..ops.epilogue import extract_escape, extract_shift, finish_packed
     from ..ops.lpc import lpc_batch
     from ..ops.walk import walk_batch
 
@@ -139,11 +139,11 @@ def profile_batch_decode(config, packets, iters: int = 3) -> PhaseTimer:
             jax.block_until_ready(mix)
 
         with timer.phase("epilogue"):
+            # Same fused finish+pack as ops/batch._decode_batch.
             sv = shift_step(jw, w)
-            out = finish(
+            packed = finish_packed(
                 mix, sv, w.bs, w.mixbits, w.mixres, w.role, w.out_chan, w.filled, F, C, cfg.bit_depth
             )
-            packed = pack_output(out, cfg.bit_depth)
             jax.block_until_ready(packed)
 
         with timer.phase("d2h"):

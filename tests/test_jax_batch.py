@@ -80,6 +80,15 @@ def test_surround_5_1():
     diff(cfg, EncoderSpec(), music_pcm(FRAME * 2, 6, 24, seed=12))
 
 
+@pytest.mark.parametrize("channels", [4, 6, 5])
+def test_multichannel16_fused_pack(channels):
+    """16-bit multichannel through the fused channel-pair byte packer
+    (even C) and the int16 fallback (odd C), including a partial final
+    frame so the ns-trim of packed words is exercised."""
+    cfg = make_config(depth=16, channels=channels, frame_length=FRAME)
+    diff(cfg, EncoderSpec(), music_pcm(FRAME * 2 - 29, channels, 16, seed=43 + channels))
+
+
 def test_malformed_packets_fall_back():
     """Corrupt packets route through the scalar oracle and raise its errors."""
     from saprobe_alac_tpu.errors import DecodeError

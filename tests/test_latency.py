@@ -67,13 +67,11 @@ def test_facade_prefetch_single_dispatch_per_window(monkeypatch):
     import io
 
     import saprobe_alac_tpu as alac
-    from saprobe_alac_tpu.encoder import write_m4a
+    from saprobe_alac_tpu.encoder import build_m4a
 
     cfg, pkts, pcm = _fixture(B=48)
-    buf = io.BytesIO()
     spp = [cfg.frame_length] * len(pkts)
-    write_m4a(buf, cfg, pkts, spp)
-    buf.seek(0)
+    buf = io.BytesIO(build_m4a(cfg, pkts, spp))
 
     dec = alac.new_decoder(buf, backend="jax", batch_size=16)
     dec.read(1)  # warm compile path
