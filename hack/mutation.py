@@ -61,6 +61,13 @@ MUTATIONS = [
         None,
         ["tests/test_roundtrip_scalar.py"],
     ),
+    (
+        "device/fused 16-bit pair pack",
+        "saprobe_alac_tpu/ops/epilogue.py",
+        "(planes[2 * i] & 0xFFFF)\n        | s(jax.lax.shift_left(u(planes[2 * i + 1]), U32(16)))",
+        "(planes[2 * i + 1] & 0xFFFF)\n        | s(jax.lax.shift_left(u(planes[2 * i]), U32(16)))",
+        ["tests/test_jax_batch.py"],
+    ),
 ]
 
 
@@ -92,11 +99,16 @@ def run_tests(targets: list[str]) -> int:
 
 
 def main() -> int:
+    # Only the files this script mutates (and restores with git checkout)
+    # must be clean — the driver keeps e.g. PROGRESS.jsonl perpetually
+    # dirty, and that must not block mutation runs.
+    mutated_files = {m[1] for m in MUTATIONS}
     dirty = subprocess.run(
         ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
-    ).stdout.strip()
-    if dirty:
-        print("refusing to run: git tree is dirty")
+    ).stdout.splitlines()
+    blocking = [ln for ln in dirty if ln[3:].strip() in mutated_files]
+    if blocking:
+        print("refusing to run: mutated files are dirty:", blocking)
         return 2
 
     # Resolve the encoder mutation dynamically (the exact expression is an
