@@ -55,18 +55,19 @@ MUTATIONS = [
         ["tests/test_golden.py", "tests/test_native.py"],
     ),
     (
-        "encoder/sign mapping",
-        "saprobe_alac_tpu/encoder/encode.py",
-        None,  # resolved below: flips residual sign mapping
-        None,
-        ["tests/test_roundtrip_scalar.py"],
-    ),
-    (
         "device/fused 16-bit pair pack",
         "saprobe_alac_tpu/ops/epilogue.py",
         "(planes[2 * i] & 0xFFFF)\n        | s(jax.lax.shift_left(u(planes[2 * i + 1]), U32(16)))",
         "(planes[2 * i + 1] & 0xFFFF)\n        | s(jax.lax.shift_left(u(planes[2 * i]), U32(16)))",
         ["tests/test_jax_batch.py"],
+    ),
+    # KEEP LAST: resolved dynamically below via MUTATIONS[-1].
+    (
+        "encoder/sign mapping",
+        "saprobe_alac_tpu/encoder/encode.py",
+        None,  # resolved below: flips residual sign mapping
+        None,
+        ["tests/test_roundtrip_scalar.py"],
     ),
 ]
 
