@@ -95,13 +95,6 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
     is_delta = order == 31
     is_fir = (order >= 1) & (order <= 30)
 
-    out0_t = jax.lax.cond(
-        jnp.any(is_delta),
-        lambda r: jnp.where(is_delta[None, :], delta_decode(r, cb, ns), r),
-        lambda r: r,
-        res_t,
-    )
-
     # den in [0,15]: den_half = 1 << (den-1) for den > 0 (predictor.go:48-51).
     den_half = jnp.where(
         den > 0, s(jax.lax.shift_left(u(jnp.ones(L, I32)), u(jnp.maximum(den - 1, 0)))), 0
@@ -139,12 +132,24 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
             res_k = jnp.concatenate(
                 [res_k, jnp.zeros((F_pad, L_pad - L), I32)], axis=1
             )
-        coefs_t = padL(coefs).T  # (32, L_pad)
+        # Order-31 delta lanes ride the kernel as class 2: a fixed
+        # order-1 / coef=1 / den=0 FIR with adaptation disabled is exactly
+        # the first-order delta recurrence (predictor.go:63-73; sext is a
+        # ring hom mod 2^cb so the stepwise sext chain equals the sexted
+        # cumsum).  Order-0/escape lanes already pass through in-kernel,
+        # so no post-kernel select pass is needed at all — that select and
+        # the gated delta_decode cond each cost a full (F, L) HBM pass.
+        fir_code = is_fir.astype(I32) + 2 * is_delta.astype(I32)
+        order_k = jnp.where(is_delta, 1, order)
+        den_k = jnp.where(is_delta, 0, den)
+        e0 = (jnp.arange(32, dtype=I32) == 0).astype(I32)
+        coefs_k = jnp.where(is_delta[:, None], e0[None, :], coefs)
+        coefs_t = padL(coefs_k).T  # (32, L_pad)
         kargs = (
             res_k,
-            padL(is_fir),
-            padL(order),
-            padL(den),
+            padL(fir_code),
+            padL(order_k),
+            padL(den_k),
             padL(jnp.maximum(cb, 1)),
             padL(ns),
             padL(wrap16),
@@ -160,9 +165,15 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
             lambda: lpc_fir_pallas(*kargs, coefs_t[:9], taps=9, **kw),
             lambda: lpc_fir_pallas(*kargs, coefs_t, taps=32, **kw),
         )
-        return jnp.where(is_fir[None, :], out_t[:F, :L], out0_t)
+        return out_t[:F, :L]
 
     # --- XLA scan fallback (CPU backends / tests): lane-major internally ---
+    out0_t = jax.lax.cond(
+        jnp.any(is_delta),
+        lambda r: jnp.where(is_delta[None, :], delta_decode(r, cb, ns), r),
+        lambda r: r,
+        res_t,
+    )
     res = res_t.T
     out0 = out0_t.T
 

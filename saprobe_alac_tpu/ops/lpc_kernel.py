@@ -87,7 +87,7 @@ def _wsel(regs, j):
 
 def _lpc_kernel(
     res_ref,  # (F_pad, NB, SL, 128) HBM (ANY): residual rows (post mode pre-pass)
-    fir_ref,  # (1, SL, 128) is_fir mask
+    fir_ref,  # (1, SL, 128) lane class: 0 bypass, 1 FIR+adapt, 2 delta31
     order_ref,
     den_ref,
     cb_ref,
@@ -146,7 +146,7 @@ def _lpc_kernel(
         # broadcasts ("unsupported target bitwidth for truncation"); keep the
         # sample index as a vector.
         tv = jnp.zeros((SL, 128), I32) + t
-        active = (is_fir == 1) & (tv < ns) & (tv >= 1)
+        active = (is_fir >= 1) & (tv < ns) & (tv >= 1)
 
         # top = out[t-1-order]: order can equal taps-1's +1 neighbor, so
         # the select list is hist padded to the next power of two (padding
@@ -167,8 +167,11 @@ def _lpc_kernel(
         out_row = jnp.where(active, val, delta)
 
         # Coefficient adaptation (predictor.go:660-682), predicated walk.
+        # Class-2 lanes (order-31 delta, folded in as a fixed order-1 /
+        # coef=1 / den=0 FIR — predictor.go:63-73 is exactly that
+        # recurrence) never adapt.
         sign = _sign(delta)
-        adapt_base = active & (sign != 0) & ~warm
+        adapt_base = active & (is_fir == 1) & (sign != 0) & ~warm
         contribs = []
         sgns = []
         for k in range(taps):
@@ -236,8 +239,11 @@ def _lpc_kernel(
 def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=512, taps=_TAPS, interpret=False):
     """FIR reconstruction over transposed (F_pad, L) residuals.
 
-    Returns out_t (F_pad, L); rows of non-FIR or t >= ns lanes carry the
-    residual value (callers overwrite them from the vectorized paths).
+    is_fir is a per-lane class code: 0 = bypass (order-0/escape lanes — the
+    kernel emits the residual unchanged, which IS their reconstruction),
+    1 = adaptive FIR, 2 = order-31 delta (fixed order-1 FIR, no adapt).
+    Returns out_t (F_pad, L); rows at t >= ns carry the raw residual
+    (garbage region, masked by the epilogue's ns trim).
     """
     F_pad, L = res_t.shape
     assert L % LB == 0 and F_pad % _CHUNK == 0
