@@ -88,6 +88,29 @@ def make_fixture():
     return cfg, packets, pcm
 
 
+def make_noise_fixture():
+    """White-noise stereo PCM + packets (escape/raw regime; cached)."""
+    from saprobe_alac_tpu.config import PacketConfig
+    from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
+
+    cfg = PacketConfig(
+        frame_length=FRAME, bit_depth=16, num_channels=2, pb=40, mb=10,
+        kb=14, max_run=255, max_frame_bytes=0, avg_bit_rate=0,
+        sample_rate=RATE,
+    )
+    CACHE.mkdir(exist_ok=True)
+    fx = CACHE / f"fixture_noise_{int(SECONDS)}s.npz"
+    if fx.exists():
+        data = np.load(fx, allow_pickle=True)
+        return cfg, [bytes(p) for p in data["packets"]], data["pcm"]
+    n = (int(RATE * SECONDS) // FRAME) * FRAME
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32768, (n, 2)).astype(np.int64)
+    packets = encode_packets(cfg, EncoderSpec(), pcm)
+    np.savez(fx, packets=np.array(packets, dtype=object), pcm=pcm)
+    return cfg, packets, pcm
+
+
 def measure_link():
     """H2D / D2H bandwidth and latency of the host<->device link."""
     import jax
@@ -283,6 +306,46 @@ def main() -> int:
     x_dc = audio_seconds / per_batch_dc
     log(f"device compute (pre-staged): {per_batch_dc*1e3:.1f} ms/batch -> {x_dc:.0f}x realtime")
 
+    # (d) Noise regime: white noise encodes to escape (raw) elements — the
+    # reference's own benchmark inverts to ~50% bit-reads here
+    # (docs/QA.md:138-147 of the reference).  The dense walk kernel decodes
+    # escape lanes in-kernel (raw fixed-width rows), so this pins the
+    # worst-content regime on hardware.  Skippable via BENCH_NOISE=0.
+    x_noise = 0.0
+    if os.environ.get("BENCH_NOISE", "1") != "0":
+        ncfg, npackets, npcm = make_noise_fixture()
+        nbatch = [npackets[i % len(npackets)] for i in range(BATCH)]
+        got = dec.decode_packets(nbatch[:8])
+        for i, g in enumerate(got):
+            src = npcm[(i % len(npackets)) * FRAME : (i % len(npackets) + 1) * FRAME]
+            assert g == pack_pcm(src, ncfg.bit_depth), (
+                f"noise bit-exactness failure on packet {i}"
+            )
+        log("noise bit-exactness: OK")
+        nw, nsz = pack_packets(nbatch)
+        nWb = _bucket(nw.shape[1], floor=16)
+        nwbuf = np.zeros((Bb, nWb), np.int32)
+        nwbuf[: len(nbatch), : nw.shape[1]] = nw
+        nsbuf = np.zeros(Bb, np.int32)
+        nsbuf[: len(nbatch)] = nsz
+        nvariants = []
+        for v in range(min(4, dc_iters)):
+            nvariants.append(
+                (jnp.asarray(np.roll(nwbuf, v, axis=0)),
+                 jnp.asarray(np.roll(nsbuf, v, axis=0)))
+            )
+        jax.block_until_ready([b for pair in nvariants for b in pair])
+        np.asarray(csum(decode_fn(*nvariants[0])[0]))  # warm the noise shape
+        t0 = time.perf_counter()
+        last = None
+        for i in range(dc_iters):
+            last = csum(decode_fn(*nvariants[i % len(nvariants)])[0])
+        np.asarray(last)
+        per_batch_noise = (time.perf_counter() - t0 - lat) / dc_iters
+        x_noise = audio_seconds / per_batch_noise
+        log(f"device compute, NOISE (escape path): {per_batch_noise*1e3:.1f} "
+            f"ms/batch -> {x_noise:.0f}x realtime")
+
     # Overlap accounting: how close is sustained e2e to the hard ceiling set
     # by the measured link and the measured compute?  (The sandbox tunnel is
     # ~100-1000x slower than production PCIe, so e2e here is link-bound by
@@ -339,6 +402,7 @@ def main() -> int:
                 "overlap_efficiency": round(overlap_eff, 3),
                 "latency_warm_b32_ms": round(lat_b32 * 1e3, 1),
                 "pcie_projected_x_realtime": round(min(pcie_bound_x, x_dc), 1),
+                "noise_device_x_realtime": round(x_noise, 1),
                 "batch": BATCH,
             }
         )

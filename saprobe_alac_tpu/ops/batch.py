@@ -91,17 +91,25 @@ def _decode_batch(
 
     w = _walk_batch(words, size_bits, F, C, depth, pb, mb, kb, walk_impl)
 
-    # Escape channels: raw extraction into the residual planes (order == 0).
-    # Escape elements are rare in real streams (encoders only emit them when
-    # compression loses), so the whole-batch bit gather is skipped unless some
-    # lane actually needs it.  Residuals stay in the walk kernel's F-major
-    # (F, C, B) plane layout end-to-end — the LPC kernel consumes and emits
-    # it natively, so the hot path has no 32 MB relayout anywhere.
-    res = jax.lax.cond(
-        jnp.any(w.esc == 1),
-        lambda: extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
-        lambda: w.res,
-    )
+    # Escape channels: raw samples land in the residual planes (order == 0).
+    # The dense (Pallas) walk decodes them IN-KERNEL — escape lanes ride the
+    # group loop as fixed-width raw readers, so a full-escape (white noise)
+    # batch runs at kernel speed instead of a whole-batch XLA bit gather
+    # (~17 ns/element: ~1 s per 2048x4096 stereo batch).  Only the XLA
+    # lockstep fallback still extracts post-hoc, cond-gated on any(esc).
+    # Residuals stay in the walk kernel's F-major (F, C, B) plane layout
+    # end-to-end — the LPC kernel consumes and emits it natively, so the
+    # hot path has no 32 MB relayout anywhere.
+    from .walk import _dense_impl
+
+    if _dense_impl(walk_impl):
+        res = w.res
+    else:
+        res = jax.lax.cond(
+            jnp.any(w.esc == 1),
+            lambda: extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
+            lambda: w.res,
+        )
 
     # LPC reconstruction over (B*C) lanes, channel-major (lane = c*B + b) so
     # the (F, L) lane axis is a plain reshape of the plane stack.

@@ -472,11 +472,12 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         "done": jnp.zeros(B, bool),
         "err": jnp.zeros(B, I32),
         "ns": jnp.full(B, F, I32),
-        # Dense (Pallas) carries the residuals as C F-major planes in the
-        # kernel's own row layout; the XLA lockstep path keeps the flat
+        # Dense (Pallas) carries the residuals as ONE F-major (F, C, B)
+        # stack (the layout WalkResult hands downstream, so the post-loop
+        # stack copy disappears); the XLA lockstep path keeps the flat
         # (B, C*F + K) buffer its micro-batch scatter machinery writes.
         "res": (
-            tuple(jnp.zeros((F, B), I32) for _ in range(C))
+            jnp.zeros((F, C, B), I32)
             if dense
             else jnp.zeros((B, C * F + _K_MICRO), I32)
         ),
@@ -827,21 +828,29 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
             er = jnp.where(active & (kerr != ERR_NONE), kerr, er)
 
-            # Residual merge: pre-walk activity (kerr lanes keep their
-            # garbage rows; the exact-oracle fallback replaces them).
-            act_u = is_comp_l
-            act_v = is_comp_l & is_cpe_l
+            # Residual merge: ONE fused select into the carried (F, C, B)
+            # stack (kerr lanes keep their garbage rows; the exact-oracle
+            # fallback replaces them).  One-hot (C, B) channel masks keep
+            # this a single HBM pass over the stack instead of C separate
+            # per-plane selects + a post-loop jnp.stack copy (each ~0.2 ms
+            # at B=2048, hack/trace_top.py).  Escape lanes' raw samples
+            # come out of the SAME kernel rows (the raw walk lanes,
+            # decoder.go:326-345/507-535) — no post-hoc bit gather.
+            act_u = is_comp_l | is_esc_l
+            act_v = (is_comp_l | is_esc_l) & is_cpe_l
             F_pad = rows.shape[0] // passes_k
             rows_u = rows[:F, :B]
-            out = []
-            for c in range(C):
-                seg = jnp.where((act_u & (chan == c))[None, :], rows_u, rs[c])
-                if passes_k == 2:
-                    rows_v = rows[F_pad : F_pad + F, :B]
-                    seg = jnp.where(
-                        (act_v & (chan + 1 == c))[None, :], rows_v, seg
-                    )
-                out.append(seg)
+            cidx = jnp.arange(C, dtype=I32)[:, None]
+            m_u = act_u[None, :] & (chan[None, :] == cidx)  # (C, B)
+            if passes_k == 2:
+                rows_v = rows[F_pad : F_pad + F, :B]
+                m_v = act_v[None, :] & (chan[None, :] + 1 == cidx)
+                out = jnp.where(
+                    m_u[None], rows_u[:, None, :],
+                    jnp.where(m_v[None], rows_v[:, None, :], rs),
+                )
+            else:
+                out = jnp.where(m_u[None], rows_u[:, None, :], rs)
 
             nbp = jnp.where(act_u, bp2, bp)
             nbp = jnp.where(is_esc_l, meta[M_ESC_END], nbp)
@@ -853,7 +862,7 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
                     M_SHIFT_BASE, M_ESC_BASE, M_ESC_END, M_SCE, M_CPE,
                 )
             )
-            return (nbp, er, tuple(out)) + small + (
+            return (nbp, er, out) + small + (
                 meta[M_COEFS_U : M_COEFS_U + 32].T,
                 meta[M_COEFS_V : M_COEFS_V + 32].T,
             )
@@ -1012,7 +1021,7 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
     err = jnp.where(~state["done"] & (state["err"] == ERR_NONE), ERR_SLOTS, state["err"])
 
     if dense:
-        res_fcb = jnp.stack(state["res"], axis=1)  # (F, C, B)
+        res_fcb = state["res"]  # already (F, C, B)
     else:
         # CPU/interpret fallback: normalize the flat lane-major buffer to the
         # F-major plane layout the downstream pipeline consumes.

@@ -38,8 +38,13 @@ element header and predictor coefficients in a prologue on the same resident
 window (decoder.go:210-265, 348-460 semantics) before running the walk.
 On the XLA side those ~25 field reads were per-lane minor-axis gathers
 (~17ns/element, ~1ms per slot at B=2048); on the resident window they are a
-few thousand fused vector ops (~tens of us).  Escape, DSE/FIL, END and
+few thousand fused vector ops (~tens of us).  DSE/FIL, END and
 error/validation semantics match ops/walk.py's `_parse_elem` bit for bit.
+Escape elements decode IN the group loop too: raw lanes ride the same
+rows as fixed-width readers (sign-extended 32-bit window reads at a
+per-lane stride — decoder.go:326-345/507-535, with CPE's interleaved U/V
+mapped onto the two walk passes), so full-escape (noise) batches run at
+kernel speed instead of a whole-batch XLA bit gather.
 
 Behavioral parity: golomb.go:112-253 (adaptive Golomb, escape, zero-run
 semantics, uint32-wrap mean), bitbuffer.go:28-32 (zero-pad reads past the
@@ -285,13 +290,25 @@ def _walk_groups(
     size_bits,
     interpret,
     probe,
+    raw=None,
+    rstep=None,
+    rawcb=None,
+    raw_vpos=None,
 ):
     """The dense-emission group loop (shared by both kernels).
 
     st0 = (act, off, err, count, mean, zmode, zrem, base, sb, pbl); `trips`
     is the number of group PAIRS to run (may be traced: the element kernel
     skips the all-idle second pass of an SCE-only batch).  Returns the final
-    state after draining the two in-flight staging copies."""
+    state after draining the two in-flight staging copies.
+
+    raw (optional, element kernel only): per-lane escape mask — those lanes
+    emit fixed-width ``rawcb``-bit reads advancing ``rstep`` bits per row
+    (decoder.go:326-345/507-535 raw sample layout: SCE consecutive, CPE
+    U/V interleaved so both passes stride 2*cb), bypassing every Golomb
+    state update.  ``raw_vpos`` is the pass-2 start cursor (esc_base + cb);
+    the pass switch rewinds raw lanes there — a backward jump, handled by
+    the extra need_l1 rewind arm below."""
     wb_mask = (1 << kb) - 1 if kb < 32 else -1
     z = jnp.zeros((SL, 128), I32)
 
@@ -311,9 +328,13 @@ def _walk_groups(
             needw = jnp.bool_(False)
         bitpos_cur = base + off
         bi = _sshr(bitpos_cur, 8)
-        need_l1 = needw & jnp.any(
-            (act == 1) & (bi - sb * _SB_BLOCKS > _L1_BLOCKS - 1 - _WIN_BLOCKS)
-        )
+        dist = bi - sb * _SB_BLOCKS
+        far = dist > _L1_BLOCKS - 1 - _WIN_BLOCKS
+        if raw is not None:
+            # The raw pass-2 rewind can land BELOW the resident superblock
+            # pair (the U pass consumed the whole interleaved region).
+            far = far | (dist < 0)
+        need_l1 = needw & jnp.any((act == 1) & far)
         sb = jnp.where(need_l1, _sshr(bi, 5), sb)
 
         @pl.when(need_l1)
@@ -349,6 +370,9 @@ def _walk_groups(
 
             dec = act * (zrem == 0).astype(I32)
             zdrain = act * (zrem > 0).astype(I32)
+            if raw is not None:
+                rawact = act * raw
+                dec = dec * (1 - raw)
 
             # Overrun guard (golomb.go:168-170); negative = Go uint32 wrap.
             curpos = base + off
@@ -383,14 +407,29 @@ def _walk_groups(
             mult = 1 - 2 * (nd & 1)
             delta = _s(jax.lax.shift_right_logical(_u(nd + 1), U32(1))) * mult
 
-            # Dense emission: decoded delta, drained zero, or dummy zero.
-            # Stored in the register-native (SL, 128) tile layout — a flat
-            # (LB,) row store would stripe one register's sublanes across
-            # lane-tiles at a single sublane, a per-row relayout shuffle.
-            if "nostore" not in probe:  # probe: cost of the staging store
-                stage[pl.ds(k, 1)] = jnp.where(dec == 1, delta, 0)[None]
+            # Raw escape lanes: the sample IS the top rawcb bits of the
+            # 32-bit window, sign-extended (one arithmetic shift — the
+            # window fetch is already paid for the whole row in lockstep);
+            # cursor advances the fixed per-lane stride.
+            if raw is not None:
+                rawval = _sshr(win, 32 - rawcb)
+                emit = jnp.where(dec == 1, delta, rawact * rawval)
+            else:
+                emit = jnp.where(dec == 1, delta, 0)
 
-            count = count + ((dec == 1) | (zdrain == 1)).astype(I32)
+            # Dense emission: decoded delta, raw sample, drained zero, or
+            # dummy zero.  Stored in the register-native (SL, 128) tile
+            # layout — a flat (LB,) row store would stripe one register's
+            # sublanes across lane-tiles at a single sublane, a per-row
+            # relayout shuffle.
+            if "nostore" not in probe:  # probe: cost of the staging store
+                stage[pl.ds(k, 1)] = emit[None]
+
+            adv = ((dec == 1) | (zdrain == 1)).astype(I32)
+            if raw is not None:
+                adv = adv | rawact
+                off = jnp.where(rawact == 1, off + rstep, off)
+            count = count + adv
             off = jnp.where(dec == 1, off + nbits, off)
             zrem = jnp.where(zdrain == 1, zrem - 1, zrem)
 
@@ -498,6 +537,17 @@ def _walk_groups(
             zmode = jnp.where(sw, 0, zmode)
             zrem = jnp.where(sw, 0, zrem)
             pbl = jnp.where(sw, pb2, pbl)
+            if raw is not None:
+                # Interleaved raw CPE: V samples sit at esc_base + cb +
+                # i*2cb — REWIND raw lanes to raw_vpos (compressed lanes'
+                # V residuals follow U in the stream, so they continue).
+                # Encode the cursor with off >= _GROUP_AT so the next
+                # group's refresh re-anchors base/window before any read
+                # (backward distance handled by the need_l1 rewind arm).
+                sel = sw & (raw == 1)
+                offv = (raw_vpos & 255) + 512
+                base = jnp.where(sel, raw_vpos - offv, base)
+                off = jnp.where(sel, offv, off)
             st = (act, off, err, count, mean, zmode, zrem, base, sb, pbl)
         st = one_group(2 * gp, st, stage_a, dma_a, gp > 0)
         st = one_group(2 * gp + 1, st, stage_b, dma_b, gp > 0)
@@ -877,19 +927,31 @@ def _element_kernel(
     pb_u = _sshr(pb_cfg * pbf_u, 2)
     pb_v = _sshr(pb_cfg * pbf_v, 2)
     mb0 = z + mb_cfg
-    act2v = (is_cpe & is_comp).astype(I32) * (ns_l > 0).astype(I32)
-    act_w = act_u * (ns_l > 0).astype(I32)
+    act2v = (is_cpe & (is_comp | is_escape)).astype(I32) * (ns_l > 0).astype(I32)
+    raw = is_escape.astype(I32)
+    rstep = nch_elem * esc_cb  # per-row stride: SCE cb, CPE 2cb (interleaved)
+    rawcb = jnp.maximum(esc_cb, 1)
+    raw_vpos = esc_base + esc_cb
+    act_w = (act_u | raw) * (ns_l > 0).astype(I32)
 
     # Walk-start window state: keep the current base and let the group
     # loop's refresh machinery normalize (off >= _GROUP_AT triggers the
     # per-lane re-select; the shift-region skip can jump arbitrarily far
-    # and the need_l1 path handles any distance).
-    st0 = (act_w, p_ent - base, err, z, mb0, z, z, base, sb, pb_u)
+    # and the need_l1 path handles any distance).  Escape lanes read from
+    # esc_base, which can sit BELOW their current base: their "V header"
+    # parse reads were garbage escape data, and the cross-lane V refresh
+    # re-anchored base at that garbage p_after_u.  Encode their cursor
+    # with off >= _GROUP_AT (same trick as the raw pass-2 rewind) so the
+    # first group refreshes before any read.
+    off_e = (esc_base & 255) + 512
+    off0 = jnp.where(raw == 1, off_e, p_ent - base)
+    base0 = jnp.where(raw == 1, esc_base - off_e, base)
+    st0 = (act_w, off0, err, z, mb0, z, z, base0, sb, pb_u)
 
-    # Slots with no compressed lane at all (END/DSE/FIL-only, all-escape)
-    # skip the walk loop entirely, and SCE-only batches (or mono) never
-    # activate pass 2: skip its all-idle groups (their staged zeros are
-    # never read — inactive lanes' rows are select-merged away in XLA).
+    # Slots with no walk lane at all (END/DSE/FIL-only) skip the walk loop
+    # entirely, and SCE-only batches (or mono) never activate pass 2: skip
+    # its all-idle groups (their staged zeros are never read — inactive
+    # lanes' rows are select-merged away in XLA).
     any_w = jnp.any(act_w == 1)
     if passes == 2:
         trips = jnp.where(
@@ -923,6 +985,10 @@ def _element_kernel(
         size_bits=size_bits,
         interpret=interpret,
         probe=probe,
+        raw=raw,
+        rstep=rstep,
+        rawcb=rawcb,
+        raw_vpos=raw_vpos,
     )
 
     bitpos_out[...] = jnp.where(act_u == 1, base + off, bitpos).reshape(bitpos_ref.shape)

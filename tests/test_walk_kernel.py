@@ -79,6 +79,56 @@ def test_dense_quiet_mixed_runs(dense_interpret):
     _roundtrip(make_config(frame_length=128), pcm)
 
 
+def _roundtrip_spec(cfg, pcm, spec):
+    from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+    pkts = encode_packets(cfg, spec, pcm)
+    got = JaxBatchDecoder(cfg).decode_packets(pkts)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "depth,channels",
+    [(16, 1), (16, 2), (24, 2), (32, 2), (20, 1), (16, 6), (24, 1), (32, 1)],
+    ids=["sce16", "cpe16", "cpe24", "cpe32", "sce20", "5.1", "sce24", "sce32"],
+)
+def test_dense_forced_escape(dense_interpret, depth, channels):
+    """In-kernel raw escape walk (decoder.go:326-345/507-535): forced
+    escape elements across depths/layouts, incl. the CPE 32-bit case
+    (stride 2*cb = 64 bits/row, the raw window-budget worst case) and the
+    interleaved U/V pass-2 rewind."""
+    F = 64 if channels > 2 else 128
+    cfg = make_config(depth=depth, channels=channels, frame_length=F)
+    _roundtrip_spec(
+        cfg,
+        music_pcm(F * 3, channels, depth, seed=50 + depth + channels),
+        EncoderSpec(escape=True),
+    )
+
+
+def test_dense_escape_partial_frame(dense_interpret):
+    cfg = make_config(frame_length=128)
+    _roundtrip_spec(
+        cfg, music_pcm(128 * 2 + 19, 2, 16, seed=57), EncoderSpec(escape=True)
+    )
+
+
+def test_dense_mixed_escape_compressed_batch(dense_interpret):
+    """Escape and compressed lanes coexisting in one slot: raw lanes ride
+    the same group loop rows as the Golomb lanes."""
+    from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
+
+    cfg = make_config(frame_length=128)
+    pcm = music_pcm(128 * 2, 2, 16, seed=58)
+    pk_esc = encode_packets(cfg, EncoderSpec(escape=True), pcm)
+    pk_cmp = encode_packets(cfg, EncoderSpec(), pcm)
+    pkts = [p for pair in zip(pk_esc, pk_cmp) for p in pair]
+    got = JaxBatchDecoder(cfg).decode_packets(pkts)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    assert got == want
+
+
 def test_dense_corrupt_packet_errors(dense_interpret):
     from saprobe_alac_tpu.errors import DecodeError
 
