@@ -61,6 +61,25 @@ MUTATIONS = [
         "(planes[2 * i + 1] & 0xFFFF)\n        | s(jax.lax.shift_left(u(planes[2 * i]), U32(16)))",
         ["tests/test_jax_batch.py"],
     ),
+    (
+        # NOTE: a zext here is invisible in final PCM (the <= cb-bit output
+        # packs truncate exactly the bits it corrupts) — the catcher is the
+        # res-level differential against the sext-ing XLA gather.
+        "device/in-kernel raw escape sign extension",
+        "saprobe_alac_tpu/ops/walk_kernel.py",
+        "rawval = _sshr(win, 32 - rawcb)",
+        "rawval = _ushr(win, 32 - rawcb)",
+        ["tests/test_parse_kernel.py"],
+    ),
+    (
+        # A value-visible escape mutation: mis-stride the raw cursor (CPE
+        # interleave reads the wrong bit positions from sample 2 on).
+        "device/in-kernel raw escape stride",
+        "saprobe_alac_tpu/ops/walk_kernel.py",
+        "off = jnp.where(rawact == 1, off + rstep, off)",
+        "off = jnp.where(rawact == 1, off + rstep + 1, off)",
+        ["tests/test_walk_kernel.py"],
+    ),
     # KEEP LAST: resolved dynamically below via MUTATIONS[-1].
     (
         "encoder/sign mapping",
