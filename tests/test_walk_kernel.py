@@ -107,6 +107,17 @@ def test_dense_forced_escape(dense_interpret, depth, channels):
     )
 
 
+def test_dense_escape_long_frame_rewind(dense_interpret):
+    """F=1024 CPE escape: the raw region (1024*2*17 = 34816 bits) spans
+    multiple 8192-bit superblocks, so the pass-2 rewind to esc_base + cb
+    lands BELOW the resident superblock pair — exercising the backward
+    need_l1 arm (an F=128 region fits inside one pair and never does)."""
+    cfg = make_config(frame_length=1024)
+    _roundtrip_spec(
+        cfg, music_pcm(1024 * 2, 2, 16, seed=59), EncoderSpec(escape=True)
+    )
+
+
 def test_dense_escape_partial_frame(dense_interpret):
     cfg = make_config(frame_length=128)
     _roundtrip_spec(
