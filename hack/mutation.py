@@ -67,8 +67,8 @@ MUTATIONS = [
         # res-level differential against the sext-ing XLA gather.
         "device/in-kernel raw escape sign extension",
         "saprobe_alac_tpu/ops/walk_kernel.py",
-        "rawval = _sshr(win, 32 - rawcb)",
-        "rawval = _ushr(win, 32 - rawcb)",
+        "sh = _sshr if raw_signed else _ushr",
+        "sh = _ushr if raw_signed else _sshr",
         ["tests/test_parse_kernel.py"],
     ),
     (

@@ -126,11 +126,26 @@ def _decode_batch(
         lpc_impl,
     )
 
-    # bytesShifted > 0 only appears on 24/32-bit streams; skip the fixed-stride
-    # gather entirely when no lane carries a shift region.
+    # bytesShifted > 0 only appears on 24/32-bit streams; skip the extraction
+    # entirely when no lane carries a shift region (XLA DCEs the whole cond
+    # for static depth 16/20, where finish() never reads shift_vals).  On
+    # the dense path the Pallas raw reader streams the region; the XLA
+    # fallback keeps the vread gather.
+    if _dense_impl(walk_impl):
+        from .epilogue import extract_shift_kernel
+
+        def _shift():
+            return extract_shift_kernel(
+                words, w.shift_base, w.bs, w.role, w.ns, F, C, walk_impl
+            )
+    else:
+
+        def _shift():
+            return extract_shift(words, w.shift_base, w.bs, w.role, F, C)
+
     shift_vals = jax.lax.cond(
         jnp.any(w.bs > 0),
-        lambda: extract_shift(words, w.shift_base, w.bs, w.role, F, C),
+        _shift,
         lambda: jnp.zeros((F, C, B), jnp.int32),
     )
     packed = finish_packed(

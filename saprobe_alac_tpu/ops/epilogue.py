@@ -69,6 +69,61 @@ def extract_shift(words, shift_base, bs, role, frame_length, num_channels):
     return jnp.stack(planes, axis=1)
 
 
+def extract_shift_kernel(words, shift_base, bs, role, ns, frame_length, num_channels, impl):
+    """Pallas raw-reader version of :func:`extract_shift` for the dense path.
+
+    The XLA gather costs ~17 ns/element on TPU (a fully-shifted 24/32-bit
+    batch gathers F*C*B*2 words — ~1 s at production shapes, the same
+    disease the in-kernel escape walk cured); the raw reader streams the
+    shift region through the walk kernel's window machinery instead.  One
+    kernel call per channel (lanes = packets, so the word columns line up
+    with the walk's transposed layout without duplicating the stream)."""
+    from .walk_kernel import raw_read_pallas
+
+    F = frame_length
+    C = num_channels
+    B = words.shape[0]
+    LB = (
+        1024
+        if B % 1024 == 0
+        else 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+    )
+    B_pad = ((B + LB - 1) // LB) * LB
+    wt = words.T
+    if B_pad != B:
+        wt = jnp.concatenate(
+            [wt, jnp.zeros((wt.shape[0], B_pad - B), wt.dtype)], axis=1
+        )
+
+    def pad(x):
+        if B_pad == B:
+            return x
+        return jnp.concatenate([x, jnp.zeros(B_pad - B, x.dtype)])
+
+    planes = []
+    for c in range(C):
+        width = bs[:, c] * 8
+        rl = role[:, c]
+        # Mono: stride w.  Pair U: stride 2w phase 0.  Pair V: stride 2w,
+        # phase w (decoder.go:314-321, 492-502).
+        stride = jnp.where(rl == 0, width, 2 * width)
+        phase = jnp.where(rl == 2, width, 0)
+        rows = raw_read_pallas(
+            wt,
+            pad(shift_base[:, c] + phase),
+            pad(stride),
+            pad(width),
+            pad((bs[:, c] > 0).astype(jnp.int32)),
+            pad(ns),
+            F=F,
+            LB=LB,
+            signed=False,  # shift bits are OR-ed back in unsigned
+            interpret=impl == "pallas_interpret",
+        )
+        planes.append(rows[:F, :B])
+    return jnp.stack(planes, axis=1)
+
+
 @partial(jax.jit, static_argnames=("frame_length", "num_channels", "depth"))
 def finish(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, frame_length, num_channels, depth):
     """Unmix pairs, re-insert shift bits, normalize 20-bit, remap channels.

@@ -294,6 +294,7 @@ def _walk_groups(
     rstep=None,
     rawcb=None,
     raw_vpos=None,
+    raw_signed=True,
 ):
     """The dense-emission group loop (shared by both kernels).
 
@@ -412,7 +413,8 @@ def _walk_groups(
             # window fetch is already paid for the whole row in lockstep);
             # cursor advances the fixed per-lane stride.
             if raw is not None:
-                rawval = _sshr(win, 32 - rawcb)
+                sh = _sshr if raw_signed else _ushr
+                rawval = sh(win, 32 - rawcb)
                 emit = jnp.where(dec == 1, delta, rawact * rawval)
             else:
                 emit = jnp.where(dec == 1, delta, 0)
@@ -1193,3 +1195,148 @@ def dense_element_pallas(
         err.reshape(B),
         jnp.moveaxis(meta, 1, 0).reshape(META_ROWS, B),
     )
+
+
+def _raw_reader_kernel(
+    words_hbm,  # (W_pad, B) int32 HBM (ANY)
+    base_ref,  # (1, SL, 128) absolute start bit position per lane
+    step_ref,  # (1, SL, 128) bits per sample
+    width_ref,  # (1, SL, 128) value width (1..32)
+    act_ref,  # (1, SL, 128) lane active mask
+    n_ref,  # (1, SL, 128) samples per lane
+    rows_ref,  # (F_pad, NB_blocks, SL, 128) OUTPUT in HBM (ANY)
+    chunk_ref,
+    l1_ref,
+    win_ref,
+    stage_a,
+    stage_b,
+    words_sem,
+    dma_a,
+    dma_b,
+    *,
+    F: int,
+    W_pad: int,
+    LB: int,
+    signed: bool,
+    interpret: bool,
+):
+    """Fixed-stride raw bit-field reader: rows[t, lane] = the width-bit value
+    at base + t*step (sign-extended when ``signed``).  Reuses the walk group
+    loop with every active lane in raw mode — the Golomb machinery runs
+    masked-off in lockstep (dec == 0 everywhere), which costs nothing extra
+    and keeps ONE group-loop implementation to validate.
+
+    Replaces XLA vread gathers for the shift-buffer region
+    (decoder.go:314-321, 492-502 — consecutive values for mono, U/V
+    interleaved for pairs): a fully-shifted 24/32-bit batch gathers
+    F*C*B*2 words (~1 s at production shapes) where this reader streams.
+    """
+    SL = LB // 128
+    NB = W_pad // _BLK
+    pid = pl.program_id(0)
+    lane0 = pl.multiple_of(pid * LB, LB)
+
+    def vec(x):
+        return x.reshape(SL, 128)
+
+    base_abs = vec(base_ref[...])
+    step = vec(step_ref[...])
+    width = vec(width_ref[...])
+    act = vec(act_ref[...])
+    n = vec(n_ref[...])
+    z = jnp.zeros((SL, 128), I32)
+
+    l1_fill, refill_window = _stream_fns(
+        words_hbm, chunk_ref, l1_ref, win_ref, words_sem, SL, LB, NB, lane0
+    )
+    bi0 = _sshr(base_abs, 8)
+    sb = _sshr(bi0, 5)
+    l1_fill(sb)
+    refill_window(bi0, sb)
+
+    act = act * (n > 0).astype(I32)
+    NPAIR = pl.cdiv(F, 2 * _K_ROWS)
+    NR = 2 * NPAIR
+    trips = jnp.where(jnp.any(act == 1), NR // 2, 0)
+    # err/count/mean/zmode/zrem idle; pbl/max_size/size_bits only feed the
+    # masked-off Golomb lanes (dec == 0: raw covers every active lane).
+    st0 = (act, base_abs - _shl(bi0, 8), z, z, z, z, z, _shl(bi0, 8), sb, z)
+    _walk_groups(
+        st0,
+        l1_fill=l1_fill,
+        refill_window=refill_window,
+        win_ref=win_ref,
+        rows_ref=rows_ref,
+        stage_a=stage_a,
+        stage_b=stage_b,
+        dma_a=dma_a,
+        dma_b=dma_b,
+        pid=pid,
+        SL=SL,
+        kb=1,
+        NPAIR=NPAIR,
+        NR=NR,
+        trips=trips,
+        passes=1,
+        act2v=z,
+        pb2=z,
+        mb0=z,
+        max_size=z + 1,
+        ns=n,
+        size_bits=z + 0x7FFFFFF0,
+        interpret=interpret,
+        probe="",
+        raw=jnp.ones((SL, 128), I32),
+        rstep=step,
+        rawcb=jnp.maximum(width, 1),
+        raw_vpos=z,
+        raw_signed=signed,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("F", "LB", "signed", "interpret"))
+def raw_read_pallas(words_t, base, step, width, act, n, *, F, LB=1024, signed=False, interpret=False):
+    """(F_pad, B) raw bit fields: out[t, b] = width[b] bits at base[b] +
+    t*step[b] for t < n[b] on active lanes; 0 elsewhere."""
+    words_t, W_pad = _pad_words(words_t)
+    B = words_t.shape[1]
+    assert B % LB == 0, (B, LB)
+    SL = LB // 128
+    F_pad = ((F + 2 * _K_ROWS - 1) // (2 * _K_ROWS)) * (2 * _K_ROWS)
+    nblocks = B // LB
+
+    kern = functools.partial(
+        _raw_reader_kernel, F=F, W_pad=W_pad, LB=LB, signed=signed,
+        interpret=interpret,
+    )
+    lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def lanes(x):
+        return x.reshape(nblocks, SL, 128)
+
+    rows = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [lane_spec] * 5,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((F_pad, nblocks, SL, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_CHUNK_WORDS, LB), jnp.int32),
+            pltpu.VMEM((_L1_BLOCKS * _BLK, LB), jnp.int32),
+            pltpu.VMEM((_NWIN * SL, 128), jnp.int32),
+            pltpu.VMEM((_K_ROWS, SL, 128), jnp.int32),
+            pltpu.VMEM((_K_ROWS, SL, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        words_t,
+        lanes(base.astype(jnp.int32)),
+        lanes(step.astype(jnp.int32)),
+        lanes(width.astype(jnp.int32)),
+        lanes(act.astype(jnp.int32)),
+        lanes(n.astype(jnp.int32)),
+    )
+    return rows.reshape(F_pad, B)

@@ -107,6 +107,23 @@ def test_dense_forced_escape(dense_interpret, depth, channels):
     )
 
 
+@pytest.mark.parametrize(
+    "depth,channels,bsf",
+    [(24, 2, 1), (32, 2, 2), (24, 1, 1), (32, 1, 1)],
+    ids=["cpe24bs1", "cpe32bs2", "sce24bs1", "sce32bs1"],
+)
+def test_dense_shift_raw_reader(dense_interpret, depth, channels, bsf):
+    """Shift-buffer extraction through the Pallas raw reader (unsigned
+    fixed-stride reads; decoder.go:314-321, 492-502) instead of the XLA
+    vread gather — incl. a partial final frame."""
+    cfg = make_config(depth=depth, channels=channels, frame_length=128)
+    _roundtrip_spec(
+        cfg,
+        music_pcm(128 * 2 + 41, channels, depth, seed=70 + depth + bsf),
+        EncoderSpec(bytes_shifted=bsf),
+    )
+
+
 def test_dense_escape_long_frame_rewind(dense_interpret):
     """F=1024 CPE escape: the raw region (1024*2*17 = 34816 bits) spans
     multiple 8192-bit superblocks, so the pass-2 rewind to esc_base + cb
