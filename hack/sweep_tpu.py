@@ -114,14 +114,15 @@ def main() -> int:
             "results": results,
         }, indent=1) + "\n")
 
-    def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None):
+    def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None, frame=None):
         if (name, depth, ch, B) in done:
             return
-        cfg = make_config(depth=depth, channels=ch, frame_length=F)
+        Fc = F if frame is None else frame
+        cfg = make_config(depth=depth, channels=ch, frame_length=Fc)
         if pcm is None:
-            pcm = music_pcm(3 * F, ch, depth,
+            pcm = music_pcm(3 * Fc, ch, depth,
                             seed=depth * 10 + ch if seed is None else seed)
-        key = (depth, ch)
+        key = (depth, ch, Fc)
         if key not in decs:
             decs[key] = JaxBatchDecoder(cfg)
         pkts = encode_packets(cfg, spec, pcm)
@@ -169,6 +170,16 @@ def main() -> int:
                 break
         if args.quick:
             break
+
+    # ---- in-kernel raw walk arms at sizes F=256 cannot reach ----
+    # F=1024 CPE escape: the raw region spans >4 superblocks, so the V-phase
+    # rewind lands below the resident L1 pair (backward need_l1 arm) — at
+    # F=256 the whole region fits in one pair and the arm never fires.
+    run("esc_rewind", 16, 2, EncoderSpec(escape=True), frame=1024,
+        pcm=music_pcm(2 * 1024, 2, 16, seed=59))
+    # F=1024 shifted: the raw shift reader's mid-stream L1 refill.
+    run("bs1_long", 24, 2, EncoderSpec(bytes_shifted=1), frame=1024,
+        pcm=music_pcm(2 * 1024, 2, 24, seed=60))
 
     # ---- content regimes ----
     run("partial", 16, 2, EncoderSpec(), pcm=music_pcm(3 * F - 37, 2, 16, seed=5))
