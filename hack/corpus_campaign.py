@@ -51,6 +51,11 @@ def main() -> int:
 
     if args.backend == "native":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")  # keep off the tunnel
+        import jax
+
+        # The axon plugin ignores the env var; conftest no longer force-pins
+        # the platform for non-pytest importers, so pin it here explicitly.
+        jax.config.update("jax_platforms", "cpu")
 
     from conftest import expected_pcm_bytes, make_config, music_pcm
 

@@ -56,14 +56,20 @@ def main() -> int:
 
     import numpy as np
 
+    # Initialize the backend BEFORE importing conftest: conftest force-pins
+    # the platform to CPU (config API) for pytest, which would silently turn
+    # this hardware smoke into a CPU run (Pallas then refuses to compile).
+    import jax
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    if jax.default_backend() != "tpu":
+        print(f"SMOKE: backend is {jax.default_backend()!r}, not tpu")
+        return 3
+
     from conftest import make_config, music_pcm
     from saprobe_alac_tpu.codec import decode_packet as oracle
     from saprobe_alac_tpu.encoder import EncoderSpec, encode_packets
     from saprobe_alac_tpu.ops.batch import JaxBatchDecoder
-
-    import jax
-
-    print(f"device: {jax.devices()[0]}", flush=True)
 
     F = 4096
     cfg = make_config(depth=args.depth, channels=args.channels, frame_length=F)

@@ -207,16 +207,18 @@ def _lpc_kernel(
         )
         dma_in.start()
         dma_in.wait()
-        chunk = res_stage[...]
 
         # One driver for hardware AND interpret (the tested code is the
         # shipped code): a fori over the chunk rows.  Measured identical to
         # a static 8-row unroll on the real chip (Mosaic schedules across
         # the loop either way; bench.py delta < timing noise), and the
-        # unrolled form interprets ~5x slower.
+        # unrolled form interprets ~5x slower.  NB: the row must be loaded
+        # from the VMEM ref at the dynamic index — dynamic_slice on a
+        # register *value* does not lower (Mosaic has no dynamic_slice for
+        # KernelType.TC).
         def rbody(rk, st):
             hist, coefs = st
-            delta = jax.lax.dynamic_index_in_dim(chunk, rk, 0, keepdims=False)
+            delta = res_stage[rk]
             out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
             stage_ref[pl.ds(rk, 1)] = out_row[None]
             return hist, coefs

@@ -6,17 +6,26 @@ path via __graft_entry__.dryrun_multichip).
 """
 
 import os
+import sys
 
 # Must be set before jax initializes a backend.  NB: the axon TPU plugin in
 # this image ignores the JAX_PLATFORMS env var, so use the config API too.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Only force the platform when running under pytest: hack/ hardware scripts
+# import this module for its fixture helpers (make_config/music_pcm) and
+# must keep their TPU backend (hw_smoke regression: a CPU pin here silently
+# turned the hardware smoke into a CPU run).
+_UNDER_PYTEST = "pytest" in sys.modules
+
+if _UNDER_PYTEST:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _UNDER_PYTEST:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
