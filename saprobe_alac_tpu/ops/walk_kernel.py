@@ -240,11 +240,22 @@ def _stream_fns(words_hbm, chunk_ref, l1_ref, win_ref, words_sem, SL, LB, NB, la
 
         jax.lax.fori_loop(0, NB // _CHUNK_ROWS, chunk, 0)
 
-    def refill_window(bi, sb):
+    def refill_window(bi, sb, mask):
         """Select the 4 window blocks bi..bi+3 from the 64-row L1 scratch
         into win_ref.  Out-of-range rows contribute zero (reference zero-pad
-        semantics)."""
-        nbi = bi - sb * _SB_BLOCKS  # in [0, 62] by the refresh invariant
+        semantics).
+
+        ``mask`` is the set of lanes that may read the window before their
+        own next refresh (live decoders plus pending pass-2 lanes); lanes
+        outside it get unspecified window rows.  Lanes advance in near
+        lockstep, so the scan runs over the dynamic row range
+        [min nbi, max nbi + 4) of the masked lanes — typically a handful of
+        rows — instead of all 64 (measured ~29% of the kernel at the full
+        scan, hack/walk_probe.py)."""
+        nbi = bi - sb * _SB_BLOCKS  # in [0, 62] for masked lanes
+        lo = jnp.maximum(jnp.min(jnp.where(mask, nbi, _L1_BLOCKS)), 0)
+        hi = jnp.minimum(jnp.max(jnp.where(mask, nbi, 0)), _L1_BLOCKS - 1)
+        end = jnp.minimum(hi + _WIN_BLOCKS, _L1_BLOCKS)
         accs = [jnp.zeros((_BLK, SL, 128), I32) for _ in range(_WIN_BLOCKS)]
 
         def row(nb, accs):
@@ -256,7 +267,7 @@ def _stream_fns(words_hbm, chunk_ref, l1_ref, win_ref, words_sem, SL, LB, NB, la
                 out.append(jnp.where(m == 1, blk, accs[t]))
             return tuple(out)
 
-        accs = jax.lax.fori_loop(0, _L1_BLOCKS, row, tuple(accs))
+        accs = jax.lax.fori_loop(lo, end, row, tuple(accs))
         for t in range(_WIN_BLOCKS):
             for w in range(_BLK):
                 win_ref[pl.ds((t * _BLK + w) * SL, SL), :] = accs[t][w]
@@ -342,9 +353,15 @@ def _walk_groups(
         def _():
             l1_fill(sb)
 
+        # Refill coverage: lanes live now OR reactivating at the pass-2
+        # switch (their cursors idle between finishing pass 1 and the
+        # switch, and may resume below _GROUP_AT — their window rows must
+        # stay valid across intervening refreshes).
+        live = (act == 1) | (act2v == 1)
+
         @pl.when(needw)
         def _():
-            refill_window(bi, sb)
+            refill_window(bi, sb, live)
 
         base = jnp.where(needw, _shl(bi, 8), base)
         off = jnp.where(needw, bitpos_cur & 255, off)
@@ -651,7 +668,7 @@ def _dense_kernel(
     bi0 = _sshr(bitpos, 8)  # window block index
     sb0 = _sshr(bi0, 5)  # superblock (32-block) index
     l1_fill(sb0)
-    refill_window(bi0, sb0)
+    refill_window(bi0, sb0, (act == 1) | (act2v == 1))
 
     z = jnp.zeros((SL, 128), I32)
     st = (
@@ -764,7 +781,7 @@ def _element_kernel(
     bi0 = _sshr(bitpos, 8)
     sb = _sshr(bi0, 5)
     l1_fill(sb)
-    refill_window(bi0, sb)
+    refill_window(bi0, sb, pa == 1)
     base = _shl(bi0, 8)
 
     def wtab_now():
@@ -881,9 +898,11 @@ def _element_kernel(
     def _():
         l1_fill(sb)
 
+    # Every compressed lane may start the walk below _GROUP_AT and read
+    # this window (escape lanes re-anchor via the forced first refresh).
     @pl.when(needw)
     def _():
-        refill_window(biv, sb)
+        refill_window(biv, sb, is_comp)
 
     base = jnp.where(needw, _shl(biv, 8), base)
     wt = wtab_now()
@@ -1252,7 +1271,7 @@ def _raw_reader_kernel(
     bi0 = _sshr(base_abs, 8)
     sb = _sshr(bi0, 5)
     l1_fill(sb)
-    refill_window(bi0, sb)
+    refill_window(bi0, sb, act == 1)
 
     act = act * (n > 0).astype(I32)
     NPAIR = pl.cdiv(F, 2 * _K_ROWS)
