@@ -107,7 +107,9 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
     if _kernel_impl(impl):
         from .lpc_kernel import lpc_fir_pallas
 
-        F_pad = ((F + 7) // 8) * 8
+        # Multiple of 16 = a whole PAIR of 8-row DMA chunks (the kernel's
+        # chunk loop runs two at a time, double-buffered staging).
+        F_pad = ((F + 15) // 16) * 16
         # Full (8, 128) vregs need 1024-lane blocks (same win as the walk
         # kernel: half-empty vregs double the sequential grid steps).
         LB = (

@@ -11,8 +11,11 @@ lanes are the minor dimension, so the per-sample residual read and output
 write are contiguous (1, LB) rows.  The 32-deep output history and the
 adapting coefficient vector live as 32 + 32 loop-carried vector registers —
 the history "shift" is pure SSA renaming, costing nothing.  Per sample the
-kernel does ~300 vector ops on (SL, 128) registers; output rows stage into
-an 8-row VMEM buffer and DMA to HBM at tile-aligned offsets.
+kernel does ~300 vector ops on (SL, 128) registers; residuals stream in and
+output rows stream out through double-buffered 8-row VMEM staging (two
+buffers + semaphores per direction alternate across chunks, so neither the
+input fill nor the output flush stalls the row loop — the same probe-driven
+fix as the walk kernel's staging DMA).
 
 Math is identical to ops/lpc.py (predicated sign-walk via exclusive suffix
 sums, Go fixed-width semantics — predictor.go:99-682); non-FIR lanes
@@ -95,10 +98,14 @@ def _lpc_kernel(
     wrap_ref,
     coefs_ref,  # (_TAPS, LB): transposed per-lane coefficients
     out_ref,  # (F_pad, NB, SL, 128) OUTPUT in HBM (ANY)
-    res_stage,  # VMEM (CHUNK, SL, 128): input chunk staging
-    stage_ref,  # VMEM (CHUNK, SL, 128): output chunk staging
-    in_sem,
-    dma_sem,
+    res_a,  # VMEM (CHUNK, SL, 128): input staging, even chunks
+    res_b,  # VMEM (CHUNK, SL, 128): input staging, odd chunks
+    stage_a,  # VMEM (CHUNK, SL, 128): output staging, even chunks
+    stage_b,  # VMEM (CHUNK, SL, 128): output staging, odd chunks
+    in_a,
+    in_b,
+    out_a,
+    out_b,
     *,
     F: int,
     LB: int,
@@ -198,15 +205,38 @@ def _lpc_kernel(
         hist_arr = jnp.concatenate([out_row[None], hist_arr[: taps - 1]], axis=0)
         return out_row, hist_arr, jnp.stack(newcoefs)
 
-    def chunk_body(ci, st):
-        hist, coefs = st
-        # Residuals live in HBM (a VMEM-blocked input would double-buffer
-        # F_pad*LB*4 bytes and overflow VMEM); DMA one chunk at a time.
-        dma_in = pltpu.make_async_copy(
-            res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid], res_stage, in_sem
+    def in_copy(ci, res_st, sem):
+        return pltpu.make_async_copy(
+            res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid], res_st, sem
         )
-        dma_in.start()
-        dma_in.wait()
+
+    def out_copy(ci, stage_st, sem):
+        return pltpu.make_async_copy(
+            stage_st, out_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid], sem
+        )
+
+    def chunk_half(ci, st, res_st, stage_st, in_sem, out_sem, not_first):
+        """One chunk with double-buffered staging on both directions: the
+        input fill for chunk ci was started two chunks back (a full chunk
+        of compute has elapsed — the synchronous per-chunk start+wait pair
+        this replaces stalled the row loop on HBM latency twice per chunk);
+        the output wait lands two chunks later, and the NEXT fill of this
+        buffer kicks off unwaited after the rows are consumed.  (Interpret
+        emulates copies synchronously — a deferred wait spins — so it runs
+        the sync pattern.)"""
+        hist, coefs = st
+        if interpret:
+            cin = in_copy(ci, res_st, in_sem)
+            cin.start()
+            cin.wait()
+        else:
+            in_copy(ci, res_st, in_sem).wait()
+
+            @pl.when(not_first)
+            def _():
+                # The copy of this SAME stage buffer two chunks back must be
+                # done before this chunk's rows overwrite it.
+                out_copy(ci - 2, stage_st, out_sem).wait()
 
         # One driver for hardware AND interpret (the tested code is the
         # shipped code): a fori over the chunk rows.  Measured identical to
@@ -218,23 +248,44 @@ def _lpc_kernel(
         # KernelType.TC).
         def rbody(rk, st):
             hist, coefs = st
-            delta = res_stage[rk]
+            delta = res_st[rk]
             out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
-            stage_ref[pl.ds(rk, 1)] = out_row[None]
+            stage_st[pl.ds(rk, 1)] = out_row[None]
             return hist, coefs
 
         hist, coefs = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs))
 
-        dma = pltpu.make_async_copy(
-            stage_ref,
-            out_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid],
-            dma_sem,
-        )
+        dma = out_copy(ci, stage_st, out_sem)
         dma.start()
-        dma.wait()
+        if interpret:
+            dma.wait()
+        else:
+            # Refill this input buffer for chunk ci+2 (the rows were all
+            # consumed by the fori above); hidden behind the next chunk.
+            @pl.when(ci + 2 < NCH)
+            def _():
+                in_copy(ci + 2, res_st, in_sem).start()
+
         return hist, coefs
 
-    jax.lax.fori_loop(0, NCH, chunk_body, (hist0, coefs0))
+    if not interpret:
+        in_copy(0, res_a, in_a).start()
+        in_copy(1, res_b, in_b).start()
+
+    def chunk_pair(cp, st):
+        # Two chunks per trip with statically alternating buffers and
+        # semaphores (dynamic semaphore indexing does not lower).
+        st = chunk_half(2 * cp, st, res_a, stage_a, in_a, out_a, cp > 0)
+        st = chunk_half(2 * cp + 1, st, res_b, stage_b, in_b, out_b, cp > 0)
+        return st
+
+    jax.lax.fori_loop(0, NCH // 2, chunk_pair, (hist0, coefs0))
+
+    if not interpret:
+        # Drain the two in-flight output copies (descriptor offsets name the
+        # last pair; only the semaphore + transfer size matter for the wait).
+        out_copy(NCH - 2, stage_a, out_a).wait()
+        out_copy(NCH - 1, stage_b, out_b).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("F", "LB", "taps", "interpret"))
@@ -248,7 +299,7 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
     (garbage region, masked by the epilogue's ns trim).
     """
     F_pad, L = res_t.shape
-    assert L % LB == 0 and F_pad % _CHUNK == 0
+    assert L % LB == 0 and F_pad % (2 * _CHUNK) == 0  # whole chunk PAIRS
     SL = LB // 128
     nblocks = L // LB
 
@@ -277,6 +328,10 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
         scratch_shapes=[
             pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),
             pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),
+            pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),
+            pltpu.VMEM((_CHUNK, SL, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
