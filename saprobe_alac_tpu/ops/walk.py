@@ -465,22 +465,19 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
     def zeros_c():
         return jnp.zeros((B, C + 2), I32)
 
-    # Carried state.
+    # Carried state.  Dense (Pallas) carries the residuals as ONE F-major
+    # (F, C, B) stack (the layout WalkResult hands downstream, so the
+    # post-loop stack copy disappears) — materialized by the PEELED first
+    # slot below, so the (F, C, B) zeros init and the first merge's carry
+    # read (each a full HBM pass over the stack) never exist.  The XLA
+    # lockstep path keeps the flat (B, C*F + K) buffer its micro-batch
+    # scatter machinery writes.
     state = {
         "bitpos": jnp.zeros(B, I32),
         "chan": jnp.zeros(B, I32),
         "done": jnp.zeros(B, bool),
         "err": jnp.zeros(B, I32),
         "ns": jnp.full(B, F, I32),
-        # Dense (Pallas) carries the residuals as ONE F-major (F, C, B)
-        # stack (the layout WalkResult hands downstream, so the post-loop
-        # stack copy disappears); the XLA lockstep path keeps the flat
-        # (B, C*F + K) buffer its micro-batch scatter machinery writes.
-        "res": (
-            jnp.zeros((F, C, B), I32)
-            if dense
-            else jnp.zeros((B, C * F + _K_MICRO), I32)
-        ),
         "order": zeros_c(),
         "mode": zeros_c(),
         "den": zeros_c(),
@@ -497,6 +494,8 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         "out_chan": zeros_c(),
         "filled": zeros_c(),
     }
+    if not dense:
+        state["res"] = jnp.zeros((B, C * F + _K_MICRO), I32)
 
     def slot_body(_, st):
         bitpos = st["bitpos"]
@@ -763,14 +762,18 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         st2["res"] = res
         return st2
 
-    def slot_body_dense(_, st):
+    def slot_body_dense(_, st, first=False):
         """Pallas slot body: ONE fused element-kernel call parses the 3-bit
         tag, headers and coefficients on the kernel's resident bit window
         and runs the 2-pass entropy walk (walk_kernel._element_kernel).
         The XLA side keeps only the rare-element bookkeeping: DSE/FIL skip
         lengths, END alignment, channel-counter advance, and the one-hot
         metadata commits.  Replaces the gathered `_parse_elem` (~25
-        minor-axis field gathers, ~1 ms/slot at B=2048) for the dense path."""
+        minor-axis field gathers, ~1 ms/slot at B=2048) for the dense path.
+
+        ``first=True`` is the peeled slot 0: there is no residual carry yet,
+        so the merge's fallback is the constant 0 and the (F, C, B) stack is
+        materialized here instead of zero-initialized and re-read."""
         from .walk_kernel import (
             M_BSF, M_COEFS_U, M_COEFS_V, M_COMP, M_CPE, M_DEN_U, M_DEN_V,
             M_ESC, M_ESC_BASE, M_ESC_END, M_MIXBITS, M_MIXRES, M_MODE_U,
@@ -793,7 +796,6 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         LB = cfg["lane_block"]
         B_pad = words_t.shape[1]
         passes_k = 2 if C > 1 else 1
-        res = st["res"]
         zb = jnp.zeros(B, I32)
 
         def pad(x, fill=0):
@@ -802,7 +804,11 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
             return jnp.concatenate([x, jnp.full((B_pad - B,), fill, x.dtype)])
 
         def run(args):
-            bp, er, rs = args
+            if first:
+                bp, er = args
+                rs = 0  # no carry yet: merge fallback is the constant 0
+            else:
+                bp, er, rs = args
             rows, bp2, kerr, meta = dense_element_pallas(
                 words_t,
                 pad(bp),
@@ -868,7 +874,11 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
             )
 
         def skip(args):
-            bp, er, rs = args
+            if first:
+                bp, er = args
+                rs = jnp.zeros((F, C, B), I32)
+            else:
+                bp, er, rs = args
             zc = jnp.zeros((B, 32), I32)
             return (bp, er, rs) + tuple(zb for _ in range(18)) + (zc, zc)
 
@@ -878,7 +888,10 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
             m_mode_u, m_den_u, m_num_u, m_mode_v, m_den_v, m_num_v,
             m_shift_base, m_esc_base, m_esc_end, m_sce, m_cpe,
             coefs_u, coefs_v,
-        ) = jax.lax.cond(jnp.any(active), run, skip, (bitpos, err, res))
+        ) = jax.lax.cond(
+            jnp.any(active), run, skip,
+            (bitpos, err) if first else (bitpos, err, st["res"]),
+        )
 
         # Flags from the kernel's validated parse (masked to this slot's
         # active lanes; padded/idle lanes carry zeros).
@@ -997,6 +1010,17 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
     body_fn = slot_body_dense if dense else slot_body
 
+    if dense:
+        # Peel slot 0: every lane is live at slot 0 (or immediately errors),
+        # so the first merge has no prior carry — run it with the constant-0
+        # fallback and let it MATERIALIZE the (F, C, B) stack, instead of
+        # zero-initializing the stack and re-reading it (two full HBM passes
+        # over F*C*B words that never held data).
+        state = slot_body_dense(0, state, first=True)
+        slot0 = 1
+    else:
+        slot0 = 0
+
     # Early-exit slot loop: a homogeneous batch (the overwhelmingly common
     # case — every lane the same element layout) finishes in 2-3 iterations
     # (channel elements + END) instead of always paying all C + EXTRA_SLOTS
@@ -1015,7 +1039,7 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         return slot + 1, body_fn(slot, st)
 
     _, state = jax.lax.while_loop(
-        _slots_cond, _slots_body, (jnp.asarray(0, I32), state)
+        _slots_cond, _slots_body, (jnp.asarray(slot0, I32), state)
     )
 
     err = jnp.where(~state["done"] & (state["err"] == ERR_NONE), ERR_SLOTS, state["err"])
