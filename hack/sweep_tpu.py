@@ -92,7 +92,8 @@ def main() -> int:
                         # (a changed kernel invalidates nothing silently —
                         # the artifact names each result's revision).
                         results.append(dict(r, git=r.get("git", prior["git"])))
-                        done.add((r["name"], r["depth"], r["ch"], r["B"]))
+                        done.add((r["name"], r["depth"], r["ch"], r["B"],
+                                  r.get("F", F)))
                 print(f"resuming: {len(done)} configs already green "
                       f"(from rev {prior['git']})", flush=True)
         except Exception as e:
@@ -115,9 +116,9 @@ def main() -> int:
         }, indent=1) + "\n")
 
     def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None, frame=None):
-        if (name, depth, ch, B) in done:
-            return
         Fc = F if frame is None else frame
+        if (name, depth, ch, B, Fc) in done:
+            return
         cfg = make_config(depth=depth, channels=ch, frame_length=Fc)
         if pcm is None:
             pcm = music_pcm(3 * Fc, ch, depth,
@@ -132,10 +133,10 @@ def main() -> int:
         got = decs[key].decode_packets(batch)
         ok = all(g == want[i % len(want)] for i, g in enumerate(got))
         results.append({"name": name, "depth": depth, "ch": ch, "B": B,
-                        "ok": bool(ok), "s": round(time.time() - tc, 1),
-                        "git": rev})
+                        "F": Fc, "ok": bool(ok),
+                        "s": round(time.time() - tc, 1), "git": rev})
         print(f"{'ok  ' if ok else 'FAIL'} {name:10s} d{depth:<2d} c{ch} "
-              f"B={B:<4d} {time.time()-tc:6.1f}s", flush=True)
+              f"B={B:<4d} F={Fc:<4d} {time.time()-tc:6.1f}s", flush=True)
         flush_artifact()
 
     # ---- main matrix: every depth x channel count through LB=1024 ----
@@ -192,6 +193,31 @@ def main() -> int:
     # B=520 -> LB=128, pad to 640) ----
     for B in (128, 256, 512, 300, 520):
         run("lb", 16, 2, EncoderSpec(), B=B)
+        if args.quick:
+            break
+
+    # ---- production frame length F=4096 (the bench/BASELINE shape) ----
+    # Kernel geometry (W_pad, L1 superblock stream trip counts, group loop
+    # lengths) is F-dependent; the F=256 matrix above never pins the Mosaic
+    # kernels at the frame length every BASELINE config and the bench run
+    # actually use.  Mirrors /root/reference/tests/conformance_test.go:568-628
+    # (every config runs on the real path at production parameters).
+    F4 = 4096
+    f4_rows = [
+        ("std", 16, 2, EncoderSpec(), {}),
+        ("bs1", 24, 2, EncoderSpec(bytes_shifted=1), {}),
+        ("noise", 16, 2, EncoderSpec(),
+         {"pcm": music_pcm(2 * F4, 2, 16, seed=61, tonality=0.0)}),
+        ("esc", 16, 2, EncoderSpec(escape=True), {}),
+        ("std", 16, 1, EncoderSpec(), {}),
+        ("std", 24, 8, EncoderSpec(), {"pcm": music_pcm(2 * F4, 8, 24, seed=63)}),
+        ("bs2", 32, 2, EncoderSpec(bytes_shifted=2), {}),
+        ("partial", 16, 2, EncoderSpec(),
+         {"pcm": music_pcm(2 * F4 - 123, 2, 16, seed=62)}),
+        ("lb512", 16, 2, EncoderSpec(), {"B": 512}),
+    ]
+    for name, depth, ch, spec, kw in f4_rows:
+        run(name, depth, ch, spec, frame=F4, **kw)
         if args.quick:
             break
 
