@@ -77,12 +77,20 @@ def main() -> int:
     h2d_s = (time.perf_counter() - t0) / args.iters
     print(f"1. H2D sustained: {h2d_s*1e3:8.1f} ms/batch = {in_mb/h2d_s:6.1f} MB/s", flush=True)
 
-    # 2. sustained D2H: download the decode result repeatedly.
+    # 2. sustained D2H: the tunnel acks repeated identical downloads early
+    # (a cached `np.asarray(d)` loop reports ~0 ms), so build DISTINCT
+    # device-resident buffers via an on-device roll (no upload cost) and
+    # download each once.
+    import jax
+
     d = h[0]
-    np.asarray(d)
+    mk = jax.jit(lambda x, k: jnp.roll(x, k, axis=0))
+    downs = [mk(d, k + 1) for k in range(args.iters)]
+    jax.block_until_ready(downs)
+    np.asarray(mk(d, 97))  # warm one download
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        np.asarray(d)
+    for dd in downs:
+        np.asarray(dd)
     d2h_s = (time.perf_counter() - t0) / args.iters
     print(f"2. D2H sustained: {d2h_s*1e3:8.1f} ms/batch = {out_mb/d2h_s:6.1f} MB/s", flush=True)
 
@@ -119,23 +127,65 @@ def main() -> int:
     t = threaded(args.iters)
     print(f"4. threaded pipeline: {t*1e3:8.1f} ms/batch -> {audio_s/t:5.0f}x", flush=True)
 
-    # 5. duplex: one upload concurrent with one download.
-    def one_up():
-        jnp.asarray(ups[1]).block_until_ready()
+    # 5. duplex: N uploads concurrent with N downloads — every buffer
+    # distinct (fresh roll offsets) so the tunnel cannot ack from cache.
+    dup_n = 3
+    dup_ups = [np.roll(words, 7 + v, axis=0) for v in range(dup_n)]
+    dup_downs = [mk(d, 200 + k) for k in range(dup_n)]
+    jax.block_until_ready(dup_downs)
 
-    def one_down():
-        np.asarray(d)
+    def up_all():
+        for u in dup_ups:
+            jnp.asarray(u).block_until_ready()
+
+    def down_all():
+        for dd in dup_downs:
+            np.asarray(dd)
 
     with ThreadPoolExecutor(2) as ex:
         t0 = time.perf_counter()
-        f1 = ex.submit(one_up)
-        f2 = ex.submit(one_down)
+        f1 = ex.submit(up_all)
+        f2 = ex.submit(down_all)
         f1.result()
         f2.result()
-        dup = time.perf_counter() - t0
-    print(f"5. duplex up+down: {dup*1e3:8.1f} ms concurrent vs "
+        dup = (time.perf_counter() - t0) / dup_n
+    print(f"5. duplex up+down: {dup*1e3:8.1f} ms/pair concurrent vs "
           f"{(h2d_s+d2h_s)*1e3:.1f} ms serial sum "
           f"(factor {(h2d_s+d2h_s)/dup:.2f})", flush=True)
+
+    # 6. concurrent-upload scaling: does a second upload stream add
+    # bandwidth, or is the link per-connection limited?
+    par_ups = [np.roll(words, 31 + v, axis=0) for v in range(4)]
+
+    def up_two(pair):
+        for u in pair:
+            jnp.asarray(u).block_until_ready()
+
+    with ThreadPoolExecutor(2) as ex:
+        t0 = time.perf_counter()
+        fs = [ex.submit(up_two, par_ups[:2]), ex.submit(up_two, par_ups[2:])]
+        for f in fs:
+            f.result()
+        par4 = (time.perf_counter() - t0) / 4
+    print(f"6. 2-stream H2D: {par4*1e3:8.1f} ms/batch = {in_mb/par4:6.1f} MB/s "
+          f"(vs 1-stream {in_mb/h2d_s:.1f})", flush=True)
+
+    # 7. concurrent-download scaling: two halves of one result pulled on two
+    # threads (what a split-download consumer would do).
+    half = jax.jit(lambda x, k: (jnp.roll(x, k, axis=0)[: x.shape[0] // 2],
+                                 jnp.roll(x, k, axis=0)[x.shape[0] // 2 :]))
+    pairs = [half(d, 300 + k) for k in range(2)]
+    jax.block_until_ready(pairs)
+    with ThreadPoolExecutor(2) as ex:
+        t0 = time.perf_counter()
+        for top, bot in pairs:
+            f1 = ex.submit(np.asarray, top)
+            f2 = ex.submit(np.asarray, bot)
+            f1.result()
+            f2.result()
+        par_d = (time.perf_counter() - t0) / 2
+    print(f"7. 2-stream D2H: {par_d*1e3:8.1f} ms/batch = {out_mb/par_d:6.1f} MB/s "
+          f"(vs 1-stream {out_mb/d2h_s:.1f})", flush=True)
     return 0
 
 

@@ -62,6 +62,18 @@ def _bucket(n: int, floor: int = 8) -> int:
         b *= 2
 
 
+def _byteswap_words(words):
+    """LE<->BE 32-bit byteswap as 4 vector ops (data already in HBM)."""
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(u, jnp.uint32(24))
+        | jax.lax.shift_left(u & jnp.uint32(0xFF00), jnp.uint32(8))
+        | (jax.lax.shift_right_logical(u, jnp.uint32(8)) & jnp.uint32(0xFF00))
+        | jax.lax.shift_right_logical(u, jnp.uint32(24)),
+        jnp.int32,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -73,21 +85,61 @@ def _decode_batch(
     words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
     walk_impl, lpc_impl, pre_swapped=True,
 ):
-    F = frame_length
-    C = num_channels
-    B = words.shape[0]
-
     if not pre_swapped:
         # Host uploaded raw little-endian words (single-core packer skips
         # the byteswap); flip to the big-endian bit order the walk expects.
-        u = jax.lax.bitcast_convert_type(words, jnp.uint32)
-        words = jax.lax.bitcast_convert_type(
-            jax.lax.shift_left(u, jnp.uint32(24))
-            | jax.lax.shift_left(u & jnp.uint32(0xFF00), jnp.uint32(8))
-            | (jax.lax.shift_right_logical(u, jnp.uint32(8)) & jnp.uint32(0xFF00))
-            | jax.lax.shift_right_logical(u, jnp.uint32(24)),
-            jnp.int32,
-        )
+        words = _byteswap_words(words)
+    return _decode_core(
+        words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
+        walk_impl, lpc_impl,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "w_bucket", "frame_length", "num_channels", "depth", "pb", "mb",
+        "kb", "walk_impl", "lpc_impl", "pre_swapped",
+    ),
+)
+def _decode_batch_tight(
+    flat, offsets, size_bits, w_bucket, frame_length, num_channels, depth,
+    pb, mb, kb, walk_impl, lpc_impl, pre_swapped=False,
+):
+    """Decode from a TIGHT staging buffer: packets concatenated back to back
+    (each padded only to its own word boundary) plus per-packet word offsets.
+
+    The host uploads exactly the compressed payload — no per-row padding to
+    the batch's max packet width — and the (B, W) padded layout the walk
+    expects is materialized on device with one masked gather.  On link-bound
+    hosts this cuts H2D bytes by the batch's padding ratio (~20-30% for
+    music); rows read zeros past their own packet, preserving the guard-word
+    semantics of the padded path (bitpack.GUARD_WORDS).
+    """
+    if not pre_swapped:
+        flat = _byteswap_words(flat)
+    Wb = w_bucket
+    wcount = jax.lax.shift_right_logical(size_bits + 31, 5)
+    col = jnp.arange(Wb, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None] + col
+    words = jnp.where(
+        col < wcount[:, None],
+        jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1), axis=0),
+        0,
+    )
+    return _decode_core(
+        words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
+        walk_impl, lpc_impl,
+    )
+
+
+def _decode_core(
+    words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
+    walk_impl, lpc_impl,
+):
+    F = frame_length
+    C = num_channels
+    B = words.shape[0]
 
     w = _walk_batch(words, size_bits, F, C, depth, pb, mb, kb, walk_impl)
 
@@ -158,9 +210,13 @@ def _decode_batch(
 class JaxBatchDecoder:
     """Device-batched packet decoding for one PacketConfig."""
 
-    def __init__(self, config: PacketConfig):
+    def __init__(self, config: PacketConfig, tight: bool = False):
         self.config = config
         self._bps_frame = bytes_per_sample(config.bit_depth) * config.num_channels
+        #: Tight staging: upload the concatenated payload + offsets and build
+        #: the padded (B, W) layout on device (see _decode_batch_tight).
+        #: Off by default — identical results, fewer H2D bytes when on.
+        self.tight = tight
         # Degenerate entropy tuning (kb == 0) relies on Go uint32 bit-position
         # wrap semantics, and absurd frame lengths would blow device memory;
         # route such streams to the host path (native core, else oracle).
@@ -181,13 +237,57 @@ class JaxBatchDecoder:
         sizes[:B] = sizes_np
         return words, sizes, swapped
 
+    def _stage_tight(self, packets: Sequence[bytes]):
+        """Concatenated staging: (flat words, word offsets, size_bits, Wb).
+
+        Each packet is padded only to its own 4-byte word boundary; rows are
+        zero-filled past their packet on device.  flat is raw little-endian
+        (the device byteswaps — one pass over the tight payload)."""
+        from .bitpack import GUARD_WORDS
+
+        B = len(packets)
+        lens = np.fromiter((len(p) for p in packets), np.int64, count=B)
+        wc = (lens + 3) // 4
+        offs = np.zeros(B, np.int64)
+        np.cumsum(wc[:-1], out=offs[1:] if B > 1 else offs[:0])
+        total = int(offs[-1] + wc[-1]) + GUARD_WORDS if B else GUARD_WORDS
+        flat = np.zeros(_bucket(total, floor=1024), np.int32)
+        fb = flat.view(np.uint8)
+        for i, p in enumerate(packets):
+            o = int(offs[i]) * 4
+            fb[o : o + len(p)] = np.frombuffer(p, np.uint8)
+        Bb = _bucket(B)
+        offsets = np.zeros(Bb, np.int32)
+        offsets[:B] = offs
+        sizes = np.zeros(Bb, np.int32)
+        sizes[:B] = lens * 8
+        Wb = _bucket(int(wc.max()) + GUARD_WORDS if B else 16, floor=16)
+        return flat, offsets, sizes, Wb
+
     def decode_async(self, packets: Sequence[bytes]):
         """Dispatch a batch; returns device arrays (packed, err, ns) without
         blocking — callers can pipeline multiple batches in flight."""
         cfg = self.config
-        words, sizes, swapped = self._stage(packets)
         # Impl selections are read at call time so tests/sweeps flipping the
         # module globals get a fresh trace (they are static jit args).
+        if self.tight:
+            flat, offsets, sizes, Wb = self._stage_tight(packets)
+            return _decode_batch_tight(
+                jnp.asarray(flat),
+                jnp.asarray(offsets),
+                jnp.asarray(sizes),
+                Wb,
+                cfg.frame_length,
+                cfg.num_channels,
+                cfg.bit_depth,
+                cfg.pb,
+                cfg.mb,
+                cfg.kb,
+                _walk_mod._IMPL,
+                _lpc_mod._IMPL,
+                pre_swapped=False,
+            )
+        words, sizes, swapped = self._stage(packets)
         return _decode_batch(
             jnp.asarray(words),
             jnp.asarray(sizes),
