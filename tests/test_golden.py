@@ -196,6 +196,108 @@ PKT_32BIT_SHIFT2 = bytes.fromhex("00001800000008000001017dde0003ffff0001eefdf7")
 PCM_32BIT_SHIFT2 = bytes.fromhex("efbe02000100feffffff03000080fdff")
 
 
+# ---------------------------------------------------------------------------
+# Vector 11 — pbFactor=2: the channel header's pb scaling, 5 samples.
+#
+# pb_effective = pb * pbFactor / 4 = 40*2/4 = 20 (decoder.go:296-300 passes
+# pbFactor*PB/4 into SetAGParams).  The pbFactor byte is 0x40 (pbf=2, num=0).
+# Entropy trace with pb=20 (a pbFactor-blind decoder computes mean 90 after
+# s0 and k32=2, desyncing immediately):
+#   s0 "110"  n=2 -> del=+1; mean = 20*2+10-((20*10)>>9=0) = 50
+#       50<<2=200<512 => zero-run, k32 = lead(50)-24+((50+16)>>6) = 2+1 = 3,
+#       m=7: "000" -> pre=0, v<2 => run 0 (consumes prefix+2); zmode=1
+#   s1 "0"    n=0,z=1 -> ndecode=1 => del=-1; mean = 20*1 = 20
+#       80<512 => zero-run, k32 = (27-24)+((36)>>6=0) = 3: "0011" ->
+#       pre=0, v=3>=2 => run = 3-1 = 2 -> two zeros; zmode=1
+#   s4 "10"   n=1,z=1 -> ndecode=2 => del=+1
+# Order 0 => PCM [1, -1, 0, 0, 1].
+PKT_PBFACTOR2 = bytes.fromhex("0000100000000a0000008180ee")
+PCM_PBFACTOR2 = np.array([1, -1, 0, 0, 1], dtype="<i2").tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 12 — chanBits=33: the >32-bit entropy escape read, 32-bit CPE.
+#
+# CPE at 32-bit depth with no byte shift has chanBits = 32+1 = 33
+# (decoder.go:371), which becomes maxSize in DynDecomp's escape arm
+# (golomb.go:185: getStreamBits(input, bitPos+9, 33)).  Go's getStreamBits
+# (golomb.go:86-108) computes `result >>= 32 - numBits` with uint32
+# operands: 32-33 wraps to 2^32-1, the shift count exceeds 31, and Go
+# defines such shifts to produce 0 — so ONLY the load2 tail survives:
+# the final (bitOffset&7)+1 bits of the 33-bit field, from the 5th byte.
+# Layout below puts the field at bit 112 (byte-aligned, b=0), so the
+# decoded value is exactly the field's last bit.
+#   U s0: "1"*9 escape prefix, field = 32 zeros + "1" -> value=1 => del=-1;
+#         mean = 40*1+10 = 50 -> zero-run k32=3: "000" run 0; zmode=1
+#   U s1: "10" n=1,z=1 -> ndecode=2 => del=+1
+#   V s0: "1110" n=3 -> del=-2; mean=130 (no run)   V s1: "10" -> del=-1
+# mixBits=mixRes=0 => passthrough (left=U, right=V).
+# PCM int32 LE: s0 (-1,-2), s1 (1,-1).  A decoder reading the full 33-bit
+# field (value 1 but 2^32 if the high bits survived — or any impl reading
+# 32 bits and consuming 32) desyncs or clamps differently.
+PKT_CPE_CHANBITS33 = bytes.fromhex("20001000000004000001000101ff000000008bae")
+PCM_CPE_CHANBITS33 = np.array([-1, -2, 1, -1], dtype="<i4").tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 13 — maximum zero-run (65535) and the zmode reset, 65537 samples.
+#
+# The zero-run length decoder (dynGet, golomb.go:112-144) escapes at
+# prefix>=9 to a raw 16-bit read: "1"*9 + 0xFFFF = run 65535.  After a run
+# that hits maxZeroRun the decoder clears zmode (golomb.go:240-242) — the
+# next codeword decodes with ndecode = value + 0, NOT +1.
+#   s0 "110" n=2 -> del=+1; mean=90 -> zero-run k32=2: "1"*9 + "1"*16
+#      -> run=65535 zeros; zmode RESET to 0; mean=0
+#   s65536 "10" n=1, zmode=0 -> ndecode=1 => del=-1
+#      (a decoder that leaves zmode=1 decodes ndecode=2 => +1: sign flip)
+# frame_length=65537 (the run plus its two bracketing samples cannot fit
+# in 65536); the device path routes frames >2^16 to the host
+# implementations by design (ops/batch.py _scalar_only).
+PKT_ZERORUN_MAX = bytes.fromhex("0000100002000200000101bffffff7")
+_pcm13 = np.zeros(65537, dtype="<i2")
+_pcm13[0] = 1
+_pcm13[-1] = -1
+PCM_ZERORUN_MAX = _pcm13.tobytes()
+
+# ---------------------------------------------------------------------------
+# Vector 14 — 8-channel SCE+CPE+CPE+CPE+LFE layout with SMPTE remap.
+#
+# The 7.1 MPEG element order maps to interleave offsets (2,6,7,0,1,4,5,3)
+# (decoder.go:55-64).  Elements carry two distinct order-0 bodies so any
+# channel-mapping error is visible:
+#   body A "1110"+"10"  -> [-2, -1]   body B "11110"+"0" -> [+2, 0]
+#   (A: n=3 -> del=-2, mean 130, no run; n=1 -> del=-1.
+#    B: n=4 -> del=+2, mean 170; n=0 -> del=0.)
+# SCE(A)->ch2, CPE(A,B)->ch6,7, CPE(B,A)->ch0,1, CPE(B,B)->ch4,5,
+# LFE(A)->ch3.  Interleaved rows: s0 [2,-2,-2,-2,2,2,-2,2],
+# s1 [0,-1,-1,-1,0,0,-1,0].
+PKT_8CH_LAYOUT = bytes.fromhex(
+    "0000100000000400000101d10000800000002000000800080ebc"
+    "20001000000004000001000101e744"
+    "0002000000008000002000203cf180004000000010000004075c"
+)
+PCM_8CH_LAYOUT = np.array(
+    [[2, -2, -2, -2, 2, 2, -2, 2], [0, -1, -1, -1, 0, 0, -1, 0]], dtype="<i2"
+).tobytes()
+
+# ---------------------------------------------------------------------------
+# Golden ERROR vectors — literal packets that must RAISE, not decode.
+#
+# E1 kb=0: k = min(lg3a, kb) = 0 makes m = 0 and the k-bit arm consume
+# k-1 = -1 bits (Go uint32 bitPos wrap, golomb.go:196-201), so sample
+# codewords advance only by their prefix; wb = (1<<0)-1 = 0 zeroes mz but
+# dynGet still adds v-1.  Entropy "1"+"01111": s0 (prefix 1) decodes value
+# 0, mean stays 10 -> zero-run k32=4, run code pre=0 v=15 -> run 14 > 3
+# remaining => ErrSampleOverrun (golomb.go:232-234).
+PKT_ERR_KB0_RUN = bytes.fromhex("00001000000008000001017f")
+# E2: escape SCE declaring 1000 samples (16000 raw bits) in an 11-byte
+# packet — the raw region runs past the end (reference reads it
+# sample-by-sample off the zero pad then crashes on the slice; this repo
+# raises BitstreamOverrun up front, errors.py taxonomy).
+PKT_ERR_ESCAPE_END = bytes.fromhex("000012000007d000000000")
+# E3: partial-frame count 5000 > frame_length 4096 => SampleOverrun
+# (decoder.go would write past its frame buffer; see element.py guard).
+PKT_ERR_NS_OVER = bytes.fromhex("000010000027100000000000000000")
+
+
 #: (depth, packet, want) triples covering every bit depth and both shift
 #: widths; all mono SCE so they batch per-config.
 DEPTH_VECTORS = [
@@ -252,6 +354,82 @@ def test_golden_oracle(channels, packet, want):
 def test_golden_native(channels, packet, want):
     cfg = make_config(depth=16, channels=channels)
     assert native.decode_packet(cfg, packet) == want
+
+
+def test_golden_pbfactor2_all_impls():
+    cfg = make_config(depth=16, channels=1)
+    got, _ = oracle(cfg, PKT_PBFACTOR2)
+    assert got == PCM_PBFACTOR2
+    if native.available():
+        assert native.decode_packet(cfg, PKT_PBFACTOR2) == PCM_PBFACTOR2
+    assert JaxBatchDecoder(cfg).decode_packets([PKT_PBFACTOR2]) == [PCM_PBFACTOR2]
+
+
+def test_golden_chanbits33_all_impls():
+    """32-bit CPE compressed: chanBits=33 escape (Go uint32-wrap read).
+
+    The device walk declines chanBits>32 lanes (walk_kernel bad_width) and
+    falls back to the host implementations per design — decode_packets must
+    still produce the literal PCM."""
+    cfg = make_config(depth=32, channels=2)
+    got, _ = oracle(cfg, PKT_CPE_CHANBITS33)
+    assert got == PCM_CPE_CHANBITS33
+    if native.available():
+        assert native.decode_packet(cfg, PKT_CPE_CHANBITS33) == PCM_CPE_CHANBITS33
+    assert JaxBatchDecoder(cfg).decode_packets([PKT_CPE_CHANBITS33]) == [
+        PCM_CPE_CHANBITS33
+    ]
+
+
+def test_golden_zerorun_max_all_impls():
+    """65535-sample zero run + the maxZeroRun zmode reset."""
+    cfg = make_config(depth=16, channels=1, frame_length=65537)
+    got, _ = oracle(cfg, PKT_ZERORUN_MAX)
+    assert got == PCM_ZERORUN_MAX
+    if native.available():
+        assert native.decode_packet(cfg, PKT_ZERORUN_MAX) == PCM_ZERORUN_MAX
+    # frame_length > 2^16 routes to the host path inside the batch facade.
+    assert JaxBatchDecoder(cfg).decode_packets([PKT_ZERORUN_MAX]) == [PCM_ZERORUN_MAX]
+
+
+def test_golden_8ch_layout_all_impls():
+    cfg = make_config(depth=16, channels=8)
+    got, _ = oracle(cfg, PKT_8CH_LAYOUT)
+    assert got == PCM_8CH_LAYOUT
+    if native.available():
+        assert native.decode_packet(cfg, PKT_8CH_LAYOUT) == PCM_8CH_LAYOUT
+    assert JaxBatchDecoder(cfg).decode_packets([PKT_8CH_LAYOUT]) == [PCM_8CH_LAYOUT]
+
+
+GOLDEN_ERRORS = [
+    pytest.param(
+        dict(depth=16, channels=1, kb=0), PKT_ERR_KB0_RUN, id="kb0-zerorun-overrun"
+    ),
+    pytest.param(
+        dict(depth=16, channels=1), PKT_ERR_ESCAPE_END, id="escape-past-end"
+    ),
+    pytest.param(dict(depth=16, channels=1), PKT_ERR_NS_OVER, id="partial-ns-over"),
+]
+
+
+@pytest.mark.parametrize("cfgkw,packet", GOLDEN_ERRORS)
+def test_golden_error_vectors_all_impls(cfgkw, packet):
+    """Literal malformed packets must raise the typed taxonomy everywhere.
+
+    The device path flags the lane and re-runs it through the oracle
+    (finish_async), so the same exception type surfaces from all three
+    entry points."""
+    from saprobe_alac_tpu.errors import DecodeError
+
+    cfg = make_config(**cfgkw)
+    with pytest.raises(DecodeError):
+        oracle(cfg, packet)
+    if native.available():
+        # The native core reports a nonzero error code for the batch.
+        _, _, errs = native.decode_batch(cfg, [packet])
+        assert errs[0] != 0
+    with pytest.raises(DecodeError):
+        JaxBatchDecoder(cfg).decode_packets([packet])
 
 
 def test_golden_device_batch():
