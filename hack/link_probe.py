@@ -21,7 +21,6 @@ Run only when the tunnel is otherwise idle (one client at a time):
 """
 import argparse
 import os
-import statistics
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor

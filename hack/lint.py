@@ -155,6 +155,19 @@ def main() -> int:
         for lineno, msg in lint_file(path):
             print(f"{path.relative_to(ROOT)}:{lineno}: {msg}")
             bad += 1
+    # Doc drift: the PERFORMANCE.md headline must match the latest
+    # committed bench artifact (regenerate with hack/gen_perf_docs.py).
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "hack" / "gen_perf_docs.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        print(r.stdout.strip() or r.stderr.strip())
+        bad += 1
     if bad:
         print(f"lint: {bad} finding(s)")
         return 1

