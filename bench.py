@@ -492,6 +492,71 @@ def main() -> int:
             log(f"HIRES row failed ({e!r}) — emitting 0")
             x_hires = 0.0
 
+    # (f) Encode regime: the device-side encoder (ops/encode_device.py) —
+    # PCM planes pre-staged in HBM, packets assembled on-device (LPC forward
+    # + lockstep Golomb-Rice emission).  The reference has no encoder at all
+    # (README.md:32-36); this row exists so the third encode backend carries
+    # a measured number.  Skippable via BENCH_ENCODE=0.
+    x_enc = 0.0
+    if os.environ.get("BENCH_ENCODE", "1") != "0":
+        try:
+            from saprobe_alac_tpu.encoder.encode import ChannelSpec
+            from saprobe_alac_tpu.encoder import EncoderSpec
+            from saprobe_alac_tpu.ops.encode_device import (
+                encode_packets_device, encode_walk,
+            )
+
+            espec = EncoderSpec(channel=ChannelSpec(order=6, fit=True))
+            n_pk = pcm.shape[0] // FRAME
+            pcms = [pcm[i * FRAME : (i + 1) * FRAME] for i in range(n_pk)]
+            # Correctness gate: device encode -> device decode roundtrip.
+            pkts = encode_packets_device(cfg, espec, pcms[:8])
+            got = dec.decode_packets(pkts)
+            for g, src in zip(got, pcms[:8]):
+                assert g == pack_pcm(src, cfg.bit_depth), "encode roundtrip failure"
+            log("encode roundtrip bit-exactness: OK")
+
+            planes = np.zeros((BATCH, 2, FRAME), np.int32)
+            for i in range(BATCH):
+                planes[i] = pcms[i % n_pk].T
+            ns_arr = np.full(BATCH, FRAME, np.int32)
+            elem_specs = ((6, 9, (4,), 0, True),)
+            coefs_arr = np.zeros((1, 32), np.int32)
+            coefs_arr[0, :6] = [160, 80, 40, 20, 10, 5]
+
+            def enc_fn(p, n_):
+                return encode_walk(
+                    p, n_, jnp.full(BATCH, 1, jnp.int32), jnp.asarray(coefs_arr),
+                    FRAME, 2, 16, cfg.pb, cfg.mb, cfg.kb,
+                    elem_specs, 1, 0, False, False, True,
+                )
+
+            evars = []
+            for v in range(min(4, dc_iters)):
+                evars.append(
+                    (jnp.asarray(np.roll(planes, v, axis=0)), jnp.asarray(ns_arr))
+                )
+            jax.block_until_ready([b for pair in evars for b in pair])
+            ecsum = jax.jit(
+                lambda w, b: jnp.sum(w.astype(jnp.int32)) + jnp.sum(b)
+            )
+            np.asarray(ecsum(*enc_fn(*evars[0])))  # warm
+            enc_reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                last = None
+                for i in range(dc_iters):
+                    last = ecsum(*enc_fn(*evars[i % len(evars)]))
+                np.asarray(last)
+                enc_reps.append((time.perf_counter() - t0 - rtt) / dc_iters)
+            per_batch_enc = statistics.median(enc_reps)
+            x_enc = audio_seconds / per_batch_enc
+            log(f"device ENCODE (pre-staged PCM): {per_batch_enc*1e3:.1f} ms/batch "
+                f"-> {x_enc:.0f}x realtime")
+        except Exception as e:
+            log(f"ENCODE row failed ({e!r}) — emitting 0")
+            x_enc = 0.0
+
     # Overlap accounting: how close is sustained e2e to the hard ceiling set
     # by the measured link and the measured compute?  (The sandbox tunnel is
     # ~100-1000x slower than production PCIe, so e2e here is link-bound by
@@ -583,6 +648,7 @@ def main() -> int:
                 "pcie_projected_x_realtime": round(min(pcie_bound_x, x_dc), 1),
                 "noise_device_x_realtime": round(x_noise, 1),
                 "hires_device_x_realtime": round(x_hires, 1),
+                "encode_device_x_realtime": round(x_enc, 1),
                 "batch": BATCH,
             }
         )

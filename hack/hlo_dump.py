@@ -21,6 +21,7 @@ CACHE = Path(__file__).resolve().parent.parent / ".bench_cache"
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--fixture", default="std", choices=["std", "noise", "hires"])
     ap.add_argument("--out", default="/tmp/decode_batch.hlo")
     args = ap.parse_args()
 
@@ -33,12 +34,14 @@ def main() -> int:
     except Exception:
         pass
 
-    from bench import make_fixture
+    import bench
     from saprobe_alac_tpu.ops import lpc as _lpc_mod
     from saprobe_alac_tpu.ops import walk as _walk_mod
     from saprobe_alac_tpu.ops.batch import JaxBatchDecoder, _decode_batch
 
-    cfg, packets, _ = make_fixture()
+    make = {"std": bench.make_fixture, "noise": bench.make_noise_fixture,
+            "hires": bench.make_hires_fixture}[args.fixture]
+    cfg, packets, _ = make()
     batch = [packets[i % len(packets)] for i in range(args.batch)]
     dec = JaxBatchDecoder(cfg)
     words, sizes, swapped = dec._stage(batch)

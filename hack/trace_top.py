@@ -60,6 +60,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--fixture", default="std", choices=["std", "noise", "hires"])
     ap.add_argument("--dir", default="/tmp/jax-trace-decode")
     ap.add_argument("--parse-only", action="store_true",
                     help="just digest an existing trace dir")
@@ -78,12 +79,14 @@ def main() -> int:
     except Exception:
         pass
 
-    from bench import make_fixture
+    import bench
     from saprobe_alac_tpu.ops import lpc as _lpc_mod
     from saprobe_alac_tpu.ops import walk as _walk_mod
     from saprobe_alac_tpu.ops.batch import JaxBatchDecoder, _decode_batch
 
-    cfg, packets, _ = make_fixture()
+    make = {"std": bench.make_fixture, "noise": bench.make_noise_fixture,
+            "hires": bench.make_hires_fixture}[args.fixture]
+    cfg, packets, _ = make()
     batch = [packets[i % len(packets)] for i in range(args.batch)]
     dec = JaxBatchDecoder(cfg)
     words, sizes, swapped = dec._stage(batch)

@@ -54,6 +54,10 @@ class ChannelSpec:
     mode: int = 0  # >0 enables the two-stage delta pre-pass
     coefs: list[int] = field(default_factory=list)
     fit: bool = True  # least-squares fit initial coefficients per block
+    #: Adaptive pbFactor: when non-empty, each channel body is entropy-encoded
+    #: once per candidate and the smallest wins (the 3-bit pbFactor field is
+    #: per channel header, so the decoder needs no side channel).
+    pb_candidates: tuple = ()
 
     def initial_coefs(self, samples: np.ndarray | None = None) -> list[int]:
         if self.coefs:
@@ -97,6 +101,11 @@ class EncoderSpec:
     """Whole-stream encoding choices (fixture-generation knobs)."""
 
     channel: ChannelSpec = field(default_factory=ChannelSpec)
+    #: Per-element overrides: one ChannelSpec per bitstream element (the
+    #: layout for C channels is _element_layout(C)); None uses ``channel``
+    #: for every element.  Real encoders tune order/mode per element — the
+    #: decoder parses every element header independently (decoder.go:55-64).
+    elements: list = None
     mix_bits: int = 1
     mix_res: int = 1  # 0 disables stereo decorrelation
     bytes_shifted: int = 0  # 0..2; >0 exercises the shift-buffer path
@@ -288,16 +297,16 @@ def _encode_channel_body(
     samples: list[int],
     chan_bits: int,
 ) -> tuple[BitWriter, BitWriter]:
-    """Predictor header bits + entropy bits for one channel."""
-    header = BitWriter()
+    """Predictor header bits + entropy bits for one channel.
+
+    With ``spec.pb_candidates`` set, the body is entropy-encoded once per
+    pbFactor candidate and the smallest wins (adaptive pbFactor — the field
+    is per channel header, so each channel adapts independently).
+    """
     order = spec.order
     if not 0 <= order <= 31:
         raise ValueError(f"order {order} not representable in the 5-bit numCoefs field")
     coefs = spec.initial_coefs(np.asarray(samples) if order not in (0, 31) else None)
-    header.write((spec.mode << 4) | spec.den_shift, 8)
-    header.write((spec.pb_factor << 5) | order, 8)
-    for c in coefs:
-        header.write(c & 0xFFFF, 16)
 
     res = lpc_forward(samples, coefs, order, chan_bits, spec.den_shift)
     if spec.mode != 0:
@@ -312,20 +321,33 @@ def _encode_channel_body(
     if chan_bits >= 32 and any(r == -(1 << 31) for r in stream_res):
         return None
 
-    ag = AGParams.standard(
-        mb=config.mb,
-        pb=(config.pb * spec.pb_factor) // 4,
-        kb=config.kb,
-        fw=len(samples),
-        sw=len(samples),
-        max_run=config.max_run,
-    )
-    body = ag_encode(ag, stream_res, chan_bits)
-    if body is None:
-        # A residual doesn't fit the escape width; callers fall back to the
-        # verbatim element.  Unreachable given minimal-representative
-        # residuals + the mix-overflow guard, but kept as belt-and-braces.
-        return None
+    best = None
+    for pbf in spec.pb_candidates or (spec.pb_factor,):
+        if not 0 <= pbf <= 7:
+            raise ValueError(f"pb_factor {pbf} not representable in the 3-bit field")
+        ag = AGParams.standard(
+            mb=config.mb,
+            pb=(config.pb * pbf) // 4,
+            kb=config.kb,
+            fw=len(samples),
+            sw=len(samples),
+            max_run=config.max_run,
+        )
+        body = ag_encode(ag, stream_res, chan_bits)
+        if body is None:
+            # A residual doesn't fit the escape width; callers fall back to
+            # the verbatim element.  Unreachable given minimal-representative
+            # residuals + the mix-overflow guard, but kept as belt-and-braces.
+            return None
+        if best is None or body.bit_length < best[1].bit_length:
+            best = (pbf, body)
+
+    pbf, body = best
+    header = BitWriter()
+    header.write((spec.mode << 4) | spec.den_shift, 8)
+    header.write((pbf << 5) | order, 8)
+    for c in coefs:
+        header.write(c & 0xFFFF, 16)
     return header, body
 
 
@@ -378,17 +400,24 @@ def encode_packet(
     layout = _element_layout(num_chan)
     lfe_idx = _LFE_BITSTREAM_IDX.get(num_chan, -1)
 
+    if spec.elements is not None and len(spec.elements) != len(layout):
+        raise ValueError(
+            f"spec.elements has {len(spec.elements)} entries; "
+            f"{num_chan}-channel layout has {len(layout)} elements"
+        )
+
     chan_idx = 0
-    for width in layout:
+    for ei, width in enumerate(layout):
+        chspec = spec.elements[ei] if spec.elements is not None else spec.channel
         if width == 1:
             tag = 3 if (spec.use_lfe_tag and chan_idx == lfe_idx) else 0  # LFE : SCE
             samples = pcm[:, offsets[chan_idx]]
-            elem = _encode_sce(config, spec, tag, samples, partial, num_samples)
+            elem = _encode_sce(config, spec, chspec, tag, samples, partial, num_samples)
             chan_idx += 1
         else:
             left = pcm[:, offsets[chan_idx]]
             right = pcm[:, offsets[chan_idx] + 1]
-            elem = _encode_cpe(config, spec, left, right, partial, num_samples)
+            elem = _encode_cpe(config, spec, chspec, left, right, partial, num_samples)
             chan_idx += 2
         _append(writer, elem)
 
@@ -413,6 +442,7 @@ def _pick(compressed: BitWriter, escaped: BitWriter, spec: EncoderSpec) -> BitWr
 def _encode_sce(
     config: PacketConfig,
     spec: EncoderSpec,
+    chspec: ChannelSpec,
     tag: int,
     samples: np.ndarray,
     partial: bool,
@@ -438,7 +468,7 @@ def _encode_sce(
     writer.write(0, 8)  # mixRes (unused for mono)
 
     high, low = _split_shift(samples, bytes_shifted)
-    hb = _encode_channel_body(config, spec.channel, high, chan_bits)
+    hb = _encode_channel_body(config, chspec, high, chan_bits)
     if hb is None:
         return escaped
     header, body = hb
@@ -455,6 +485,7 @@ def _encode_sce(
 def _encode_cpe(
     config: PacketConfig,
     spec: EncoderSpec,
+    chspec: ChannelSpec,
     left: np.ndarray,
     right: np.ndarray,
     partial: bool,
@@ -497,8 +528,8 @@ def _encode_cpe(
     writer.write(mix_bits, 8)
     writer.write(mix_res & 0xFF, 8)
 
-    hb_u = _encode_channel_body(config, spec.channel, [int(x) for x in u], chan_bits)
-    hb_v = _encode_channel_body(config, spec.channel, [int(x) for x in v], chan_bits)
+    hb_u = _encode_channel_body(config, chspec, [int(x) for x in u], chan_bits)
+    hb_v = _encode_channel_body(config, chspec, [int(x) for x in v], chan_bits)
     if hb_u is None or hb_v is None:
         return escaped
     header_u, body_u = hb_u

@@ -312,7 +312,12 @@ class JaxBatchDecoder:
                 return packed_row[: ns * C // 2].tobytes()
             return packed_row[: ns * C].tobytes()
         if depth in (20, 24):
-            return packed_row[: ns * C * 3].tobytes()
+            nb = ns * C * 3
+            if (self.config.frame_length * C) % 4 == 0:
+                # finish_packed fused triples: rows are LE int32 words, four
+                # 3-byte samples per three words; trim to the byte payload.
+                return packed_row[: (nb + 3) // 4].tobytes()[:nb]
+            return packed_row[:nb].tobytes()
         return packed_row[: ns * C].astype("<i4").tobytes()
 
     def finish_async(self, handle, packets: Sequence[bytes]) -> list[bytes]:

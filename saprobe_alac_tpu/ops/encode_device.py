@@ -11,10 +11,11 @@ so "append w bits at bitpos" is two scatter-ADDs (add == or into zeros) on
 the straddled words — no read-modify-write hazard, since each lane owns its
 row.
 
-Scope (v1): compressed elements with caller-supplied coefficients, mode=0,
-optional byte shifting for >=24-bit depths, partial frames.  The host
-encoders (encoder/, native/) remain the full-featured paths; device-encoded
-streams are bit-identical to the Python encoder given the same parameters.
+Scope (v2): the full host-encoder spec space — per-element spec overrides,
+mode>0 two-stage delta pre-pass, per-lane adaptive pbFactor candidates,
+forced/auto escape, per-lane Levinson-Durbin coefficient fitting, byte
+shifting, partial frames.  Device-encoded streams are bit-identical to the
+Python encoder given the same parameters (kb=0 streams fall back to host).
 """
 
 from __future__ import annotations
@@ -259,34 +260,42 @@ _LFE_BITSTREAM_IDX = {6: 5, 7: 6, 8: 7}
     jax.jit,
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb",
-        "order", "den_shift", "pb_factor", "mix_bits_s", "bytes_shifted",
-        "use_lfe_tag", "auto_escape", "fit",
+        "elem_specs", "mix_bits_s", "bytes_shifted",
+        "use_lfe_tag", "force_escape", "auto_escape",
     ),
 )
 def encode_walk(
     planes,  # (B, C, F) int32, SMPTE channel order
     ns,  # (B,) int32 samples per packet
     mix_res,  # (B,) int32 per-packet mix_res (0 disables decorrelation)
-    coefs_in,  # (32,) int32 shared initial coefficients
+    coefs_in,  # (E, 32) int32 shared initial coefficients per element
     frame_length, num_channels, depth, pb, mb, kb,
-    order, den_shift, pb_factor, mix_bits_s, bytes_shifted, use_lfe_tag,
-    auto_escape, fit=False,
+    elem_specs,  # static: per-element (order, den_shift, pb_candidates, mode, fit)
+    mix_bits_s, bytes_shifted, use_lfe_tag, force_escape, auto_escape,
 ):
     """Device-side packet assembly.  Returns (words (B, W) int32 BE, bit_len (B,)).
 
-    Each element is assembled in two per-element scratch buffers (compressed
-    and verbatim/escape); the smaller (or the escape, when residuals are
-    uncodable) is blitted into the packet.  The blit is a width-32
-    scatter-add of the whole scratch: trailing zero words add nothing, and
-    later emissions into the same region are adds too, so no masking is
-    needed.
+    Each element is assembled in per-element scratch buffers (one compressed
+    candidate per pbFactor, plus verbatim/escape); the smallest (or the
+    escape, when residuals are uncodable or escape is forced) is blitted into
+    the packet.  The blit is a width-32 scatter-add of the whole scratch:
+    trailing zero words add nothing, and later emissions into the same region
+    are adds too, so no masking is needed.
+
+    ``elem_specs`` carries one static (order, den_shift, pb_candidates, mode,
+    fit) tuple per bitstream element — per-element spec overrides, matching
+    the host encoder's EncoderSpec.elements.  mode > 0 is the two-stage
+    delta pre-pass (the decoder un-deltas before the LPC walk); multiple
+    pb_candidates entropy-encode each channel once per candidate and the
+    smallest wins PER LANE (the 3-bit pbFactor field is per channel header).
     """
     F = frame_length
     C = num_channels
     B = planes.shape[0]
     layout = _element_layout(C)
+    assert len(elem_specs) == len(layout), (elem_specs, layout)
 
-    def fit_coefs(d):
+    def fit_coefs(d, order, den_shift, shared):
         """Per-lane Levinson-Durbin on the post-mix channel data (float32 on
         device; any coefficients are valid — the adaptive decoder walks from
         them — so fp rounding only affects compression, never losslessness).
@@ -319,7 +328,6 @@ def encode_walk(
             for k in range(order)
         ] + [jnp.zeros(B, I32)] * (32 - order)
         fitted = jnp.stack(cols, axis=1)
-        shared = jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32)
         use = ok & (ns >= 4 * order + 8)
         return jnp.where(use[:, None], fitted, shared)
     offsets = CHANNEL_LAYOUT_OFFSETS[C - 1]
@@ -349,7 +357,8 @@ def encode_walk(
         return buf, pos
 
     chan = 0
-    for width_e in layout:
+    for ei, width_e in enumerate(layout):
+        order, den_shift, pb_cands, mode, fit = elem_specs[ei]
         pair = width_e == 2
         nch = 2 if pair else 1
         if pair and depth == 32:
@@ -394,13 +403,11 @@ def encode_walk(
             ch_data = (h0,)
 
         # --- per-channel coefficients + residuals (and the uncodable gate) ---
+        shared_c = jnp.broadcast_to(coefs_in[ei][None, :], (B, 32)).astype(I32)
         if fit and 1 <= order <= 30:
-            ch_coefs = [fit_coefs(data) for data in ch_data]
+            ch_coefs = [fit_coefs(data, order, den_shift, shared_c) for data in ch_data]
         else:
-            ch_coefs = [
-                jnp.broadcast_to(coefs_in[None, :], (B, 32)).astype(I32)
-                for _ in ch_data
-            ]
+            ch_coefs = [shared_c for _ in ch_data]
         res_list = []
         bad = jnp.zeros(B, bool)
         for data, ccoef in zip(ch_data, ch_coefs):
@@ -413,10 +420,43 @@ def encode_walk(
                 ccoef,
                 F,
             )
+            if mode != 0:
+                # Two-stage: the decoder un-deltas first (decoder.go:307-309),
+                # so the stream carries delta'd residuals.
+                rm1 = jnp.concatenate([res[:, :1], res[:, :-1]], axis=1)
+                d = sext(res - rm1, jnp.full(B, cb, I32)[:, None])
+                res = jnp.where(jnp.arange(F, dtype=I32)[None, :] == 0, res, d)
             res_list.append(res)
             if cb >= 32:
                 idxF = jnp.arange(F, dtype=I32)[None, :]
                 bad = bad | jnp.any((idxF < ns[:, None]) & (res == jnp.int32(-(1 << 31))), axis=1)
+
+        # --- adaptive pbFactor: encode each channel body per candidate into
+        # an isolated scratch; the smallest wins per lane (host ties keep the
+        # earlier candidate; argmin matches).  Single-candidate elements keep
+        # the cheaper in-place emission below.
+        bodies = None
+        if len(pb_cands) > 1:
+            Wch = ((F * 72 + 256) // 32) + 4
+            bodies = []
+            for res in res_list:
+                zrun = _zero_run_table(res, ns)
+                cbufs, clens = [], []
+                for pbf in pb_cands:
+                    cbuf = jnp.zeros((B, Wch), I32)
+                    cbuf, clen = _entropy_encode(
+                        cbuf, jnp.zeros(B, I32), res, zrun, jnp.ones(B, bool),
+                        jnp.full(B, (pb * pbf) // 4, I32),
+                        jnp.full(B, cb, I32), ns, mb, kb,
+                    )
+                    cbufs.append(cbuf)
+                    clens.append(clen)
+                lens = jnp.stack(clens, axis=1)  # (B, K)
+                best = jnp.argmin(lens, axis=1).astype(I32)
+                buf = jnp.take_along_axis(
+                    jnp.stack(cbufs), best[None, :, None], axis=0)[0]
+                pbf_lane = jnp.asarray(pb_cands, I32)[best]
+                bodies.append((buf, jnp.min(lens, axis=1), pbf_lane))
 
         # --- compressed variant (scratch) ---
         Ws = ((F * nch * 72 + 4096) // 32) + 4
@@ -429,8 +469,12 @@ def encode_walk(
         sc, sp = _emit(sc, sp, mr & 0xFF, jnp.full(B, 8, I32))
 
         for ci in range(nch):
-            sc, sp = _emit(sc, sp, jnp.full(B, den_shift, I32), jnp.full(B, 8, I32))
-            sc, sp = _emit(sc, sp, jnp.full(B, (pb_factor << 5) | order, I32), jnp.full(B, 8, I32))
+            sc, sp = _emit(sc, sp, jnp.full(B, (mode << 4) | den_shift, I32), jnp.full(B, 8, I32))
+            if bodies is not None:
+                pbf_field = shl(bodies[ci][2], 5) | order
+            else:
+                pbf_field = jnp.full(B, (pb_cands[0] << 5) | order, I32)
+            sc, sp = _emit(sc, sp, pbf_field, jnp.full(B, 8, I32))
             for kcoef in range(order):
                 cval = ch_coefs[ci][:, kcoef] & 0xFFFF
                 sc, sp = _emit(sc, sp, cval, jnp.full(B, 16, I32))
@@ -447,13 +491,20 @@ def encode_walk(
             sc = sc2
             sp = sp + ns * nch * shift_w
 
-        pb_local = jnp.full(B, (pb * pb_factor) // 4, I32)
-        for res in res_list:
-            zrun = _zero_run_table(res, ns)
-            sc, sp = _entropy_encode(
-                sc, sp, res, zrun, jnp.ones(B, bool), pb_local,
-                jnp.full(B, cb, I32), ns, mb, kb,
-            )
+        if bodies is not None:
+            # Blit each winning body at the current bit position (zero tail
+            # words add nothing; same trick as the element blit below).
+            for buf, blen, _ in bodies:
+                sc, _ = _emit_many(sc, sp, buf, 32)
+                sp = sp + blen
+        else:
+            pb_local = jnp.full(B, (pb * pb_cands[0]) // 4, I32)
+            for res in res_list:
+                zrun = _zero_run_table(res, ns)
+                sc, sp = _entropy_encode(
+                    sc, sp, res, zrun, jnp.ones(B, bool), pb_local,
+                    jnp.full(B, cb, I32), ns, mb, kb,
+                )
 
         # --- escape (verbatim) variant (scratch) ---
         We = ((F * nch * depth + 256) // 32) + 4
@@ -473,7 +524,12 @@ def encode_walk(
         sep = sep + ns * nch * depth
 
         # --- choose and blit ---
-        use_esc = bad | (jnp.asarray(auto_escape) & (sep < sp))
+        if force_escape:
+            use_esc = jnp.ones(B, bool)
+        elif auto_escape:
+            use_esc = bad | (sep < sp)
+        else:
+            use_esc = bad
         Wmax = max(Ws, We)
         sc_p = jnp.pad(sc, ((0, 0), (0, Wmax - Ws)))
         se_p = jnp.pad(se, ((0, 0), (0, Wmax - We)))
@@ -492,20 +548,21 @@ def encode_walk(
 
 def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
     """Encode packets on the device; bit-identical to the Python encoder
-    given the same (shared) coefficients and mode-0 settings.
+    given the same (shared) coefficients.
 
     ``pcm_list``: list of (ns_i, C) int arrays (one per packet).  Lanes whose
     residuals are uncodable at 32-bit width emit the verbatim (escape)
-    element on-device, like the host encoders' fallback.
+    element on-device, like the host encoders' fallback.  Per-element
+    ``spec.elements`` overrides, mode>0, pb_candidates, and forced escape
+    all run on-device; only kb=0 streams (degenerate WB — the entropy loop's
+    zero-run k would diverge from the host corner) fall back to the host.
     """
     from ..encoder.encode import encode_packet as host_encode
 
-    ch = spec.channel
     if not pcm_list:
         return []
-    if ch.mode != 0 or spec.escape or config.kb == 0:
+    if config.kb == 0:
         return [host_encode(config, spec, p) for p in pcm_list]
-    auto_escape = bool(spec.auto_escape)
 
     from .batch import _bucket
 
@@ -513,6 +570,19 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
     Bb = _bucket(B)  # fixed shape buckets bound recompiles
     F = config.frame_length
     C = config.num_channels
+    layout = _element_layout(C)
+    el_specs = spec.elements if spec.elements is not None else [spec.channel] * len(layout)
+    if len(el_specs) != len(layout):
+        raise ValueError(
+            f"spec.elements has {len(el_specs)} entries; "
+            f"{C}-channel layout has {len(layout)} elements"
+        )
+    elem_specs = tuple(
+        (ch.order, ch.den_shift, tuple(ch.pb_candidates) or (ch.pb_factor,),
+         ch.mode, bool(ch.fit and not ch.coefs))
+        for ch in el_specs
+    )
+
     planes = np.zeros((Bb, C, F), np.int32)
     ns = np.zeros(Bb, np.int32)
     for i, p in enumerate(pcm_list):
@@ -520,12 +590,20 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         ns[i] = n
         planes[i, :, :n] = np.asarray(p, np.int64).T.astype(np.int32)
 
-    # Fallback coefficients (degenerate lanes / fitting off); with ch.fit and
-    # no pinned coefficients, the device re-fits per lane per channel on-chip
-    # (Levinson-Durbin inside encode_walk, matching the host encoders).
-    coefs = ch.initial_coefs(np.asarray(pcm_list[0][:, 0], np.int64) if ch.order not in (0, 31) else None)
-    coefs_arr = np.zeros(32, np.int32)
-    coefs_arr[: len(coefs)] = coefs
+    # Fallback coefficients per element (degenerate lanes / fitting off);
+    # with fit on and no pinned coefficients, the device re-fits per lane per
+    # channel on-chip (Levinson-Durbin inside encode_walk, matching the host
+    # encoders).
+    offsets = CHANNEL_LAYOUT_OFFSETS[C - 1]
+    coefs_arr = np.zeros((len(layout), 32), np.int32)
+    chan = 0
+    for ei, (w, ch) in enumerate(zip(layout, el_specs)):
+        col = offsets[chan]
+        cvals = ch.initial_coefs(
+            np.asarray(pcm_list[0][:, col], np.int64) if ch.order not in (0, 31) else None
+        )
+        coefs_arr[ei, : len(cvals)] = cvals
+        chan += w
 
     words, bits = encode_walk(
         jnp.asarray(planes),
@@ -533,9 +611,8 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         jnp.full(Bb, spec.mix_res, jnp.int32),
         jnp.asarray(coefs_arr),
         F, C, config.bit_depth, config.pb, config.mb, config.kb,
-        ch.order, ch.den_shift, ch.pb_factor, max(spec.mix_bits, 0),
-        spec.bytes_shifted, spec.use_lfe_tag, auto_escape,
-        fit=bool(ch.fit and not ch.coefs),
+        elem_specs, max(spec.mix_bits, 0), spec.bytes_shifted,
+        spec.use_lfe_tag, bool(spec.escape), bool(spec.auto_escape),
     )
     words = np.asarray(words)
     bits = np.asarray(bits)

@@ -75,9 +75,15 @@ def extract_shift_kernel(words, shift_base, bs, role, ns, frame_length, num_chan
     The XLA gather costs ~17 ns/element on TPU (a fully-shifted 24/32-bit
     batch gathers F*C*B*2 words — ~1 s at production shapes, the same
     disease the in-kernel escape walk cured); the raw reader streams the
-    shift region through the walk kernel's window machinery instead.  One
-    kernel call per channel (lanes = packets, so the word columns line up
-    with the walk's transposed layout without duplicating the stream)."""
+    shift region through the walk kernel's window machinery instead (lanes
+    = packets, so the word columns line up with the walk's transposed
+    layout without duplicating the stream).
+
+    Pair fusion: a CPE's shift region interleaves U/V values
+    (decoder.go:314-321, 492-502), so the U channel's reader fetches the
+    whole (u << w) | v pair as ONE 2w-bit value and the V channel splits it
+    with a mask — the V-channel reader call runs with every lane inactive
+    (its group loop takes zero trips), halving the streamed bits per pair."""
     from .walk_kernel import raw_read_pallas
 
     F = frame_length
@@ -100,27 +106,39 @@ def extract_shift_kernel(words, shift_base, bs, role, ns, frame_length, num_chan
             return x
         return jnp.concatenate([x, jnp.zeros(B_pad - B, x.dtype)])
 
-    planes = []
+    reads = []
     for c in range(C):
         width = bs[:, c] * 8
         rl = role[:, c]
-        # Mono: stride w.  Pair U: stride 2w phase 0.  Pair V: stride 2w,
-        # phase w (decoder.go:314-321, 492-502).
+        # Mono: w bits at stride w.  Pair U: the fused (u << w) | v value —
+        # 2w bits at stride 2w, phase 0.  Pair V: covered by the partner
+        # channel's read (masked inactive here).
         stride = jnp.where(rl == 0, width, 2 * width)
-        phase = jnp.where(rl == 2, width, 0)
         rows = raw_read_pallas(
             wt,
-            pad(shift_base[:, c] + phase),
+            pad(shift_base[:, c]),
             pad(stride),
-            pad(width),
-            pad((bs[:, c] > 0).astype(jnp.int32)),
+            pad(stride),
+            pad(((bs[:, c] > 0) & (rl != 2)).astype(jnp.int32)),
             pad(ns),
             F=F,
             LB=LB,
             signed=False,  # shift bits are OR-ed back in unsigned
             interpret=impl == "pallas_interpret",
         )
-        planes.append(rows[:F, :B])
+        reads.append(rows[:F, :B])
+
+    planes = []
+    for c in range(C):
+        width = (bs[:, c] * 8)[None, :]
+        rl = role[:, c][None, :]
+        # U lanes: high half of the fused read; mono lanes: the value itself.
+        val = jnp.where(rl == 1, s(jax.lax.shift_right_logical(u(reads[c]), u(width))), reads[c])
+        if c > 0:
+            # V lanes: low half of the partner channel's fused read.
+            vmask = s(jax.lax.shift_left(u(jnp.ones_like(reads[c - 1])), u(width))) - 1
+            val = jnp.where(rl == 2, reads[c - 1] & vmask, val)
+        planes.append(jnp.where((bs[:, c] > 0)[None, :], val, 0))
     return jnp.stack(planes, axis=1)
 
 
@@ -207,9 +225,36 @@ def finish_packed(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, 
     little-endian int32 bytes are exactly two little-endian int16 samples
     (matrix.go:30-63's 2-byte LE writer), so the one unavoidable
     (F, ...) -> (B, ...) relayout moves half the bytes and the separate
-    int16 cast pass over the transposed array disappears.  All other
+    int16 cast pass over the transposed array disappears.
+
+    20/24-bit batches (3-byte LE triples, matrix.go:91-131) pack four
+    samples into three int32 words arithmetically while still plane-major:
+    the u8 stack + minor-dim interleave copies of pack_output cost ~1 ms
+    per 2048x4096 stereo batch (five byte-granular passes); this is two
+    fused vector passes and a 3/4-weight relayout.  All other
     depths/channel counts fall back to finish() + pack_output().
     """
+    F = frame_length
+    C = num_channels
+    if depth in (20, 24) and (F * C) % 4 == 0:
+        planes = _finish_planes(
+            mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled,
+            frame_length, num_channels, depth,
+        )
+        # Sample-stream order s = f*C + c, grouped in fours; each group of
+        # four 3-byte samples is exactly three LE int32 words.
+        x = jnp.stack(planes, axis=1).reshape(F * C, -1)
+        s0, s1, s2, s3 = x[0::4], x[1::4], x[2::4], x[3::4]
+        w0 = (s0 & 0xFFFFFF) | s(jax.lax.shift_left(u(s1), U32(24)))
+        w1 = (s(jax.lax.shift_right_logical(u(s1), U32(8))) & 0xFFFF) | s(
+            jax.lax.shift_left(u(s2), U32(16))
+        )
+        w2 = (s(jax.lax.shift_right_logical(u(s2), U32(16))) & 0xFF) | s(
+            jax.lax.shift_left(u(s3 & 0xFFFFFF), U32(8))
+        )
+        w = jnp.stack([w0, w1, w2], axis=-1)  # (F*C/4, B, 3)
+        B = w.shape[1]
+        return w.transpose(1, 0, 2).reshape(B, (F * C * 3) // 4)
     if depth != 16 or num_channels % 2 != 0:
         out = finish(
             mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled,
@@ -220,7 +265,6 @@ def finish_packed(mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled, 
         mix, shift_vals, bs, mixbits, mixres, role, out_chan, filled,
         frame_length, num_channels, depth,
     )
-    C = num_channels
     pairs = [
         (planes[2 * i] & 0xFFFF)
         | s(jax.lax.shift_left(u(planes[2 * i + 1]), U32(16)))

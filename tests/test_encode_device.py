@@ -111,3 +111,52 @@ def test_device_empty_and_mix_bits_zero():
     spec = spec_for(4, mix_bits=0, mix_res=2)
     dev = encode_packets_device(cfg, spec, [pcm])[0]
     assert dev == encode_packet(cfg, spec, pcm)
+
+
+def test_device_mode_delta_prepass():
+    """mode>0 (two-stage delta, decoder.go:307-309) now runs on-device."""
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = EncoderSpec(channel=ChannelSpec(order=4, coefs=[160, 80, 40, 20],
+                                           fit=False, mode=1))
+    pcm = music_pcm(F, 2, 16, seed=3, tonality=0.8)
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    assert dev == encode_packet(cfg, spec, pcm)
+    assert oracle(cfg, dev)[0] == expected_pcm_bytes(pcm, 16)
+
+
+def test_device_adaptive_pb_candidates():
+    """Per-lane adaptive pbFactor: each channel header carries the winning
+    candidate, byte-identical to the host's smallest-wins selection."""
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = EncoderSpec(channel=ChannelSpec(
+        order=4, coefs=[160, 80, 40, 20], fit=False, pb_candidates=(2, 4, 7)))
+    pcms = [music_pcm(F, 2, 16, seed=s, tonality=t)
+            for s, t in [(1, 0.9), (2, 0.2), (3, 0.6)]]
+    dev = encode_packets_device(cfg, spec, pcms)
+    for pkt, pcm in zip(dev, pcms):
+        assert pkt == encode_packet(cfg, spec, pcm)
+        assert oracle(cfg, pkt)[0] == expected_pcm_bytes(pcm, 16)
+
+
+def test_device_per_element_specs():
+    """EncoderSpec.elements overrides per bitstream element (5.1 layout:
+    SCE + CPE + CPE + LFE-SCE) — mixed orders/modes on one packet."""
+    cfg = make_config(depth=16, channels=6, frame_length=F)
+    mk = lambda o, m=0: ChannelSpec(order=o, coefs=[160, 80, 40, 20, 10, 5][:o],
+                                    fit=False, mode=m)
+    spec = EncoderSpec(channel=mk(4),
+                       elements=[mk(2), mk(6), mk(4, m=1), mk(0)], mix_res=1)
+    pcm = music_pcm(F, 6, 16, seed=11)
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    assert dev == encode_packet(cfg, spec, pcm)
+    assert oracle(cfg, dev)[0] == expected_pcm_bytes(pcm, 16)
+
+
+def test_device_forced_escape():
+    """spec.escape forces verbatim elements on-device too."""
+    cfg = make_config(depth=24, channels=2, frame_length=F)
+    spec = spec_for(4, escape=True)
+    pcm = music_pcm(F, 2, 24, seed=5)
+    dev = encode_packets_device(cfg, spec, [pcm])[0]
+    assert dev == encode_packet(cfg, spec, pcm)
+    assert oracle(cfg, dev)[0] == expected_pcm_bytes(pcm, 24)

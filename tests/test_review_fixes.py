@@ -37,7 +37,8 @@ def test_underpopulated_packet_matches_oracle():
     cfg = make_config(depth=16, channels=2, frame_length=128)
     pcm_mono = music_pcm(128, 1, 16, seed=3)[:, 0]
     w = BitWriter()
-    elem = _encode_sce(cfg, EncoderSpec(), 0, pcm_mono, False, 128)
+    spec = EncoderSpec()
+    elem = _encode_sce(cfg, spec, spec.channel, 0, pcm_mono, False, 128)
     _append(w, elem)
     w.write(7, 3)
     w.byte_align()
@@ -142,7 +143,8 @@ def _stereo_packet_with_prefix(cfg, pcm, prefix_writer):
 
     w = BitWriter()
     _append(w, prefix_writer)
-    elem = _encode_cpe(cfg, EncoderSpec(), pcm[:, 0], pcm[:, 1], False, pcm.shape[0])
+    spec = EncoderSpec()
+    elem = _encode_cpe(cfg, spec, spec.channel, pcm[:, 0], pcm[:, 1], False, pcm.shape[0])
     _append(w, elem)
     w.write(7, 3)
     w.byte_align()
