@@ -165,7 +165,13 @@ def main() -> int:
         (EncoderSpec(mix_res=-3, mix_bits=2), "mixneg"),
     ]
     for spec, name in specs:
-        for depth in (16, 24, 32):
+        # 20-bit variant rows reuse the (20, 2, F) executable the std matrix
+        # already compiled — near-free coverage.  Shift variants stay off
+        # 20-bit: the format's 20-bit writer has no shift re-insert
+        # (matrix.go:66-105 vs :107-163), so bs>0 at depth 20 is not a
+        # lossless configuration any encoder emits.
+        depths = (16, 24, 32) if name.startswith("bs") else (16, 24, 32, 20)
+        for depth in depths:
             run(name, depth, 2, spec)
             if args.quick:
                 break
@@ -215,6 +221,8 @@ def main() -> int:
         ("partial", 16, 2, EncoderSpec(),
          {"pcm": music_pcm(2 * F4 - 123, 2, 16, seed=62)}),
         ("lb512", 16, 2, EncoderSpec(), {"B": 512}),
+        ("std", 20, 2, EncoderSpec(), {}),
+        ("esc", 20, 2, EncoderSpec(escape=True), {}),
     ]
     for name, depth, ch, spec, kw in f4_rows:
         run(name, depth, ch, spec, frame=F4, **kw)

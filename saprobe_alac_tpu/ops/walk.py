@@ -1022,17 +1022,25 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         slot0 = 0
 
     # Early-exit slot loop: a homogeneous batch (the overwhelmingly common
-    # case — every lane the same element layout) finishes in 2-3 iterations
-    # (channel elements + END) instead of always paying all C + EXTRA_SLOTS
-    # slot bodies; each idle body costs a full copy of the (B, C*F) residual
-    # carry through the dispatch cond's identity branch (~0.7 ms at B=2048).
+    # case — every lane the same element layout) finishes in as many
+    # iterations as it has CHANNEL elements, instead of always paying all
+    # C + EXTRA_SLOTS slot bodies; each idle body costs a full copy of the
+    # (B, C*F) residual carry through the dispatch cond's identity branch
+    # (~0.7 ms at B=2048).  The terminal END tag (decoder.go:192-195) needs
+    # no element kernel and no residual merge, so the cond pre-reads each
+    # unfinished lane's 3-bit tag (two gathered words per lane) and stops as
+    # soon as every one sits on END or past the end — the post-loop pass
+    # below commits them.  For a stereo batch this removes the entire final
+    # iteration: a full element-kernel call plus an (F, C, B) carry select,
+    # ~2.8 ms of a 4.9 ms batch at B=2048 F=4096 (hack/trace_top.py).
     # Lanes still unfinished when the slot budget runs out get ERR_SLOTS
     # below, exactly as with the fixed-trip loop.
     def _slots_cond(carry):
         slot, st = carry
-        return (slot < C + EXTRA_SLOTS) & jnp.any(
-            ~st["done"] & (st["err"] == ERR_NONE)
-        )
+        active = ~st["done"] & (st["err"] == ERR_NONE)
+        over = sshr(st["bitpos"], 3) >= sshr(size_bits, 3)
+        tag = vread(words, st["bitpos"], 3)
+        return (slot < C + EXTRA_SLOTS) & jnp.any(active & ~over & (tag != 7))
 
     def _slots_body(carry):
         slot, st = carry
@@ -1042,7 +1050,16 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         _slots_cond, _slots_body, (jnp.asarray(slot0, I32), state)
     )
 
-    err = jnp.where(~state["done"] & (state["err"] == ERR_NONE), ERR_SLOTS, state["err"])
+    # Post-loop commit for the lanes the loop left unfinished: past-end
+    # before the tag read -> ERR_OVERRUN (decoder.go:143-145); END -> byte
+    # align + done (decoder.go:192-195); anything else ran out of slot
+    # budget -> ERR_SLOTS.  Pure (B,) work — no kernel, no stack traffic.
+    active = ~state["done"] & (state["err"] == ERR_NONE)
+    over = active & (sshr(state["bitpos"], 3) >= sshr(size_bits, 3))
+    err = jnp.where(over, ERR_OVERRUN, state["err"])
+    is_end = active & ~over & (vread(words, state["bitpos"], 3) == 7)
+    done = state["done"] | is_end
+    err = jnp.where(~done & (err == ERR_NONE), ERR_SLOTS, err)
 
     if dense:
         res_fcb = state["res"]  # already (F, C, B)
