@@ -557,6 +557,53 @@ def main() -> int:
             log(f"ENCODE row failed ({e!r}) — emitting 0")
             x_enc = 0.0
 
+    # (g) Host native (C++/OpenMP) encode — the production encode path; the
+    # device encoder above exists for backend parity (its lockstep XLA
+    # emission pays per-codeword scatter costs the decode kernels engineered
+    # away).  Threads release the GIL during the foreign call.
+    x_enc_host = 0.0
+    if os.environ.get("BENCH_ENCODE", "1") != "0":
+        try:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from saprobe_alac_tpu import native
+            from saprobe_alac_tpu.encoder import EncoderSpec
+            from saprobe_alac_tpu.encoder.encode import ChannelSpec
+
+            if native.available():
+                espec = EncoderSpec(channel=ChannelSpec(order=6, fit=True))
+                n_pk = pcm.shape[0] // FRAME
+                pcms = [
+                    np.ascontiguousarray(pcm[i * FRAME : (i + 1) * FRAME])
+                    for i in range(n_pk)
+                ]
+                enc_batch = [pcms[i % n_pk] for i in range(256)]
+                nthreads = min(os.cpu_count() or 1, 8)
+
+                def enc_all(pool):
+                    return list(
+                        pool.map(lambda p: native.encode_packet(cfg, espec, p), enc_batch)
+                    )
+
+                with ThreadPoolExecutor(nthreads) as pool:
+                    pk = enc_all(pool)  # warm + correctness gate
+                    got = dec.decode_packets(pk[:8])
+                    for g, src in zip(got, enc_batch[:8]):
+                        assert g == pack_pcm(src, cfg.bit_depth), "host encode roundtrip"
+                    reps = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        enc_all(pool)
+                        reps.append(time.perf_counter() - t0)
+                enc_audio = 256 * FRAME / cfg.sample_rate
+                x_enc_host = enc_audio / statistics.median(reps)
+                log(f"host native ENCODE ({nthreads} threads): "
+                    f"{statistics.median(reps)*1e3:.1f} ms/256 pkts "
+                    f"-> {x_enc_host:.0f}x realtime")
+        except Exception as e:
+            log(f"host ENCODE row failed ({e!r}) — emitting 0")
+            x_enc_host = 0.0
+
     # Overlap accounting: how close is sustained e2e to the hard ceiling set
     # by the measured link and the measured compute?  (The sandbox tunnel is
     # ~100-1000x slower than production PCIe, so e2e here is link-bound by
@@ -649,6 +696,7 @@ def main() -> int:
                 "noise_device_x_realtime": round(x_noise, 1),
                 "hires_device_x_realtime": round(x_hires, 1),
                 "encode_device_x_realtime": round(x_enc, 1),
+                "encode_host_x_realtime": round(x_enc_host, 1),
                 "batch": BATCH,
             }
         )

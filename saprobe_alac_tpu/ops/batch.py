@@ -141,7 +141,12 @@ def _decode_core(
     C = num_channels
     B = words.shape[0]
 
-    w = _walk_batch(words, size_bits, F, C, depth, pb, mb, kb, walk_impl)
+    from .walk import fused_rows_layout
+
+    fused = fused_rows_layout(walk_impl, lpc_impl, C, B)
+    w = _walk_batch(
+        words, size_bits, F, C, depth, pb, mb, kb, walk_impl, fused=fused
+    )
 
     # Escape channels: raw samples land in the residual planes (order == 0).
     # The dense (Pallas) walk decodes them IN-KERNEL — escape lanes ride the
@@ -151,23 +156,32 @@ def _decode_core(
     # lockstep fallback still extracts post-hoc, cond-gated on any(esc).
     # Residuals stay in the walk kernel's F-major (F, C, B) plane layout
     # end-to-end — the LPC kernel consumes and emits it natively, so the
-    # hot path has no 32 MB relayout anywhere.
+    # hot path has no 32 MB relayout anywhere.  On the fused single-slot
+    # layout (C <= 2, whole lane blocks) w.res is the element kernel's RAW
+    # rows buffer and the LPC kernel DMAs chunks straight out of it — no
+    # merge select and no residual relayout at all.
     from .walk import _dense_impl
 
-    if _dense_impl(walk_impl):
-        res = w.res
+    L = B * C
+    if fused:
+        res_arg = w.res  # (passes*F_pad, NB, SL, 128) raw rows
+        rows_nb = w.res.shape[1]
     else:
-        res = jax.lax.cond(
-            jnp.any(w.esc == 1),
-            lambda: extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
-            lambda: w.res,
-        )
+        if _dense_impl(walk_impl):
+            res = w.res
+        else:
+            res = jax.lax.cond(
+                jnp.any(w.esc == 1),
+                lambda: extract_escape(words, w.res, w.esc, w.esc_base, w.esc_cb, w.role, F, C),
+                lambda: w.res,
+            )
+        res_arg = res.reshape(F, L)
+        rows_nb = None
 
     # LPC reconstruction over (B*C) lanes, channel-major (lane = c*B + b) so
     # the (F, L) lane axis is a plain reshape of the plane stack.
-    L = B * C
     mix = _lpc_batch(
-        res.reshape(F, L),
+        res_arg,
         w.order.T.reshape(L),
         w.mode.T.reshape(L),
         w.den.T.reshape(L),
@@ -176,6 +190,7 @@ def _decode_core(
         w.coefs.transpose(1, 0, 2).reshape(L, 32),
         F,
         lpc_impl,
+        rows_nb=rows_nb,
     )
 
     # bytesShifted > 0 only appears on 24/32-bit streams; skip the extraction

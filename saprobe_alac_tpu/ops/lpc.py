@@ -62,12 +62,16 @@ def lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length):
     return _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, _IMPL)
 
 
-@partial(jax.jit, static_argnames=("frame_length", "impl"))
-def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
+@partial(jax.jit, static_argnames=("frame_length", "impl", "rows_nb"))
+def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl, rows_nb=None):
     """Reconstruct samples from residuals for all lanes.
 
     res_t: (F, L) int32 entropy residuals, F-major (the walk kernel's row
            layout — escape lanes hold raw samples and have order == 0).
+           With ``rows_nb`` set (kernel impls only), res_t is instead the
+           walk kernel's RAW rows buffer (passes*F_pad_w, rows_nb, SL, 128)
+           consumed in place by the FIR kernel — no merge select, no
+           residual relayout, no (F, L) materialization anywhere.
     order, mode, den, cb, ns: (L,) int32.
     coefs: (L, 32) int32 (int16 range), zero beyond each lane's order.
 
@@ -77,19 +81,20 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
     to lane-major and back around its dynamic-slice machinery.
     """
     F = frame_length
-    L = res_t.shape[1]
+    L = order.shape[0]
 
     # Two-stage mode: delta pre-pass over the stream residuals
-    # (decoder.go:307-309: UnpcBlock in-place with order 31).  Real encoders
-    # emit mode == 0 and FIR orders almost always, and each delta pass is a
-    # full (F, L) u32 cumsum (~1.1 ms at production shapes) — gate both on
-    # "any lane needs it" so the common batch skips them entirely.
-    res_t = jax.lax.cond(
-        jnp.any(mode != 0),
-        lambda r: jnp.where((mode != 0)[None, :], delta_decode(r, cb, ns), r),
-        lambda r: r,
-        res_t,
-    )
+    # (decoder.go:307-309: UnpcBlock in-place with order 31).  The Pallas
+    # kernel runs it in-kernel as a carried prefix (~3 vector ops/row); the
+    # XLA fallback keeps the gated (F, L) cumsum pass (~1.1 ms at production
+    # shapes, skipped when no lane needs it — real encoders emit mode == 0).
+    if not _kernel_impl(impl):
+        res_t = jax.lax.cond(
+            jnp.any(mode != 0),
+            lambda r: jnp.where((mode != 0)[None, :], delta_decode(r, cb, ns), r),
+            lambda r: r,
+            res_t,
+        )
 
     # Vectorized special orders.
     is_delta = order == 31
@@ -110,14 +115,22 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
         # Multiple of 16 = a whole PAIR of 8-row DMA chunks (the kernel's
         # chunk loop runs two at a time, double-buffered staging).
         F_pad = ((F + 15) // 16) * 16
-        # Full (8, 128) vregs need 1024-lane blocks (same win as the walk
-        # kernel: half-empty vregs double the sequential grid steps).
-        LB = (
-            1024
-            if L % 1024 == 0
-            else 512 if L % 512 == 0 else (256 if L % 256 == 0 else 128)
-        )
-        L_pad = ((L + LB - 1) // LB) * LB
+        if rows_nb is not None:
+            # Direct consumption of the walk kernel's raw rows buffer: its
+            # lane blocking fixes LB, and L is already whole blocks (the
+            # fused layout is only selected when B % 128 == 0).
+            LB = res_t.shape[2] * 128
+            L_pad = L
+            assert L % (rows_nb * LB) == 0, (L, rows_nb, LB)
+        else:
+            # Full (8, 128) vregs need 1024-lane blocks (same win as the walk
+            # kernel: half-empty vregs double the sequential grid steps).
+            LB = (
+                1024
+                if L % 1024 == 0
+                else 512 if L % 512 == 0 else (256 if L % 256 == 0 else 128)
+            )
+            L_pad = ((L + LB - 1) // LB) * LB
 
         def padL(x, fill=0):
             if L_pad == L:
@@ -126,14 +139,15 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
             return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)])
 
         res_k = res_t
-        if F_pad != F:
-            res_k = jnp.concatenate(
-                [res_k, jnp.zeros((F_pad - F, L), I32)], axis=0
-            )
-        if L_pad != L:
-            res_k = jnp.concatenate(
-                [res_k, jnp.zeros((F_pad, L_pad - L), I32)], axis=1
-            )
+        if rows_nb is None:
+            if F_pad != F:
+                res_k = jnp.concatenate(
+                    [res_k, jnp.zeros((F_pad - F, L), I32)], axis=0
+                )
+            if L_pad != L:
+                res_k = jnp.concatenate(
+                    [res_k, jnp.zeros((F_pad, L_pad - L), I32)], axis=1
+                )
         # Order-31 delta lanes ride the kernel as class 2: a fixed
         # order-1 / coef=1 / den=0 FIR with adaptation disabled is exactly
         # the first-order delta recurrence (predictor.go:63-73; sext is a
@@ -155,8 +169,14 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl):
             padL(jnp.maximum(cb, 1)),
             padL(ns),
             padL(wrap16),
+            padL(mode),
         )
-        kw = dict(F=F_pad, LB=LB, interpret=impl == "pallas_interpret")
+        kw = dict(
+            F=F if rows_nb is not None else F_pad,
+            LB=LB,
+            interpret=impl == "pallas_interpret",
+            src_nb=rows_nb,
+        )
 
         # Real encoders sit at orders 4-8 (the reference hand-unrolls
         # exactly those, predictor.go:99-618); a 9-tap kernel variant runs

@@ -89,13 +89,16 @@ def _wsel(regs, j):
 
 
 def _lpc_kernel(
-    res_ref,  # (F_pad, NB, SL, 128) HBM (ANY): residual rows (post mode pre-pass)
+    res_ref,  # (F_pad, NB, SL, 128) HBM (ANY): residual rows; with src_nb
+    #           set, the walk kernel's RAW rows buffer
+    #           (passes*src_fpad, src_nb, SL, 128), channel-major lanes
     fir_ref,  # (1, SL, 128) lane class: 0 bypass, 1 FIR+adapt, 2 delta31
     order_ref,
     den_ref,
     cb_ref,
     ns_ref,
     wrap_ref,
+    mode_ref,  # (1, SL, 128) mode != 0: two-stage delta pre-pass in-kernel
     coefs_ref,  # (_TAPS, LB): transposed per-lane coefficients
     out_ref,  # (F_pad, NB, SL, 128) OUTPUT in HBM (ANY)
     res_a,  # VMEM (CHUNK, SL, 128): input staging, even chunks
@@ -111,6 +114,8 @@ def _lpc_kernel(
     LB: int,
     taps: int,
     interpret: bool,
+    src_nb: int | None = None,
+    src_fpad: int | None = None,
 ):
     SL = LB // 128
     pid = pl.program_id(0)  # at body top: DMA index expressions need it
@@ -124,6 +129,7 @@ def _lpc_kernel(
     cb = vec(cb_ref[...])
     ns = vec(ns_ref[...])
     wrap16 = vec(wrap_ref[...])
+    is_mode = vec(mode_ref[...]) != 0
 
     one = jnp.ones((SL, 128), I32)
     den_half = jnp.where(den > 0, _shl_v(one, jnp.maximum(den - 1, 0)), 0)
@@ -145,14 +151,24 @@ def _lpc_kernel(
 
     NCH = F // _CHUNK  # F is a multiple of _CHUNK (F_pad)
 
-    def row_step(t, delta, hist_arr, coefs_arr):
-        """One sample: returns (out_row, hist', coefs')."""
+    def row_step(t, delta_raw, hist_arr, coefs_arr, prev):
+        """One sample: returns (out_row, hist', coefs', prev')."""
         hist = [hist_arr[k] for k in range(taps)]
         coefs = [coefs_arr[k] for k in range(taps)]
         # Scalar-vs-vector compares make Mosaic materialize scalar i1
         # broadcasts ("unsupported target bitwidth for truncation"); keep the
         # sample index as a vector.
         tv = jnp.zeros((SL, 128), I32) + t
+
+        # mode > 0 two-stage delta pre-pass (decoder.go:307-309) as a carried
+        # prefix: d[0] = res[0] (raw, predictor.go:53), d[t] = sext(d[t-1] +
+        # res[t]) — equal to the sexted wrapping cumsum (sext is a ring hom
+        # mod 2^cb), so this matches ops/lpc.py's delta_decode bit for bit
+        # while costing ~3 vector ops instead of a gated (F, L) XLA pass.
+        d0 = _sext_v(prev + delta_raw, cb)
+        delta = jnp.where(is_mode & (tv >= 1), d0, delta_raw)
+        prev = jnp.where(is_mode, delta, prev)
+
         active = (is_fir >= 1) & (tv < ns) & (tv >= 1)
 
         # top = out[t-1-order]: order can equal taps-1's +1 neighbor, so
@@ -203,12 +219,28 @@ def _lpc_kernel(
             newcoefs.append(jnp.where(adapt, newc, coefs[k]))
 
         hist_arr = jnp.concatenate([out_row[None], hist_arr[: taps - 1]], axis=0)
-        return out_row, hist_arr, jnp.stack(newcoefs)
+        return out_row, hist_arr, jnp.stack(newcoefs), prev
 
-    def in_copy(ci, res_st, sem):
-        return pltpu.make_async_copy(
-            res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid], res_st, sem
-        )
+    if src_nb is None:
+        def in_copy(ci, res_st, sem):
+            return pltpu.make_async_copy(
+                res_ref.at[pl.ds(ci * _CHUNK, _CHUNK), pid], res_st, sem
+            )
+    else:
+        # Direct consumption of the walk kernel's raw rows buffer: lanes are
+        # channel-major (lane = c*B + b), so grid cell pid covers channel
+        # c = pid // src_nb at the walk's lane block nb = pid % src_nb, whose
+        # rows live at [c*src_fpad, c*src_fpad + F).  src_fpad >= F_pad
+        # always (both round F up to 16: 2*_K_ROWS == 2*_CHUNK == 16).
+        c_src = pid // src_nb
+        nb_src = pid % src_nb
+
+        def in_copy(ci, res_st, sem):
+            return pltpu.make_async_copy(
+                res_ref.at[pl.ds(c_src * src_fpad + ci * _CHUNK, _CHUNK), nb_src],
+                res_st,
+                sem,
+            )
 
     def out_copy(ci, stage_st, sem):
         return pltpu.make_async_copy(
@@ -224,7 +256,7 @@ def _lpc_kernel(
         buffer kicks off unwaited after the rows are consumed.  (Interpret
         emulates copies synchronously — a deferred wait spins — so it runs
         the sync pattern.)"""
-        hist, coefs = st
+        hist, coefs, prev = st
         if interpret:
             cin = in_copy(ci, res_st, in_sem)
             cin.start()
@@ -247,13 +279,15 @@ def _lpc_kernel(
         # register *value* does not lower (Mosaic has no dynamic_slice for
         # KernelType.TC).
         def rbody(rk, st):
-            hist, coefs = st
+            hist, coefs, prev = st
             delta = res_st[rk]
-            out_row, hist, coefs = row_step(ci * _CHUNK + rk, delta, hist, coefs)
+            out_row, hist, coefs, prev = row_step(
+                ci * _CHUNK + rk, delta, hist, coefs, prev
+            )
             stage_st[pl.ds(rk, 1)] = out_row[None]
-            return hist, coefs
+            return hist, coefs, prev
 
-        hist, coefs = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs))
+        hist, coefs, prev = jax.lax.fori_loop(0, _CHUNK, rbody, (hist, coefs, prev))
 
         dma = out_copy(ci, stage_st, out_sem)
         dma.start()
@@ -266,7 +300,7 @@ def _lpc_kernel(
             def _():
                 in_copy(ci + 2, res_st, in_sem).start()
 
-        return hist, coefs
+        return hist, coefs, prev
 
     if not interpret:
         in_copy(0, res_a, in_a).start()
@@ -279,7 +313,9 @@ def _lpc_kernel(
         st = chunk_half(2 * cp + 1, st, res_b, stage_b, in_b, out_b, cp > 0)
         return st
 
-    jax.lax.fori_loop(0, NCH // 2, chunk_pair, (hist0, coefs0))
+    jax.lax.fori_loop(
+        0, NCH // 2, chunk_pair, (hist0, coefs0, jnp.zeros((SL, 128), I32))
+    )
 
     if not interpret:
         # Drain the two in-flight output copies (descriptor offsets name the
@@ -288,23 +324,49 @@ def _lpc_kernel(
         out_copy(NCH - 1, stage_b, out_b).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("F", "LB", "taps", "interpret"))
-def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=512, taps=_TAPS, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("F", "LB", "taps", "interpret", "src_nb")
+)
+def lpc_fir_pallas(
+    res_t, is_fir, order, den, cb, ns, wrap16, mode, coefs_t,
+    *, F, LB=512, taps=_TAPS, interpret=False, src_nb=None,
+):
     """FIR reconstruction over transposed (F_pad, L) residuals.
 
     is_fir is a per-lane class code: 0 = bypass (order-0/escape lanes — the
     kernel emits the residual unchanged, which IS their reconstruction),
     1 = adaptive FIR, 2 = order-31 delta (fixed order-1 FIR, no adapt).
-    Returns out_t (F_pad, L); rows at t >= ns carry the raw residual
-    (garbage region, masked by the epilogue's ns trim).
+    mode != 0 lanes run the two-stage delta pre-pass in-kernel
+    (decoder.go:307-309).  Returns out_t (F_pad, L); rows at t >= ns carry
+    the raw residual (garbage region, masked by the epilogue's ns trim).
+
+    With ``src_nb`` set, res_t is the walk kernel's RAW rows buffer
+    (passes*src_fpad, src_nb, SL, 128) consumed in place — lanes are
+    channel-major over it (lane = c*B + b with B = src_nb*LB), no residual
+    relayout or merge anywhere between the two kernels.
     """
-    F_pad, L = res_t.shape
+    if src_nb is None:
+        F_pad, L = res_t.shape
+        src_fpad = None
+        res_in = res_t.reshape(F_pad, L // LB, LB // 128, 128)
+    else:
+        rows_total, nb_in, SL_in, _ = res_t.shape
+        assert nb_in == src_nb and SL_in * 128 == LB, (res_t.shape, src_nb, LB)
+        passes = is_fir.shape[0] // (src_nb * LB)
+        src_fpad = rows_total // passes
+        F_pad = ((F + 2 * _CHUNK - 1) // (2 * _CHUNK)) * (2 * _CHUNK)
+        assert F_pad <= src_fpad, (F_pad, src_fpad)
+        L = is_fir.shape[0]
+        res_in = res_t
     assert L % LB == 0 and F_pad % (2 * _CHUNK) == 0  # whole chunk PAIRS
     SL = LB // 128
     nblocks = L // LB
 
     assert taps in (9, _TAPS) and coefs_t.shape[0] == taps
-    kern = functools.partial(_lpc_kernel, F=F_pad, LB=LB, taps=taps, interpret=interpret)
+    kern = functools.partial(
+        _lpc_kernel, F=F_pad, LB=LB, taps=taps, interpret=interpret,
+        src_nb=src_nb, src_fpad=src_fpad,
+    )
     lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def lanes(x):
@@ -315,6 +377,7 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            lane_spec,
             lane_spec,
             lane_spec,
             lane_spec,
@@ -337,13 +400,14 @@ def lpc_fir_pallas(res_t, is_fir, order, den, cb, ns, wrap16, coefs_t, *, F, LB=
         ],
         interpret=interpret,
     )(
-        res_t.reshape(F_pad, nblocks, SL, 128),
+        res_in,
         lanes(is_fir.astype(jnp.int32)),
         lanes(order),
         lanes(den),
         lanes(cb),
         lanes(ns),
         lanes(wrap16.astype(jnp.int32)),
+        lanes(mode.astype(jnp.int32)),
         coefs_t,
     )
     # (F_pad, NB, SL, 128) -> (F_pad, L): minor-dim collapse, columns are

@@ -48,7 +48,11 @@ class WalkResult(NamedTuple):
     #                   channel planes — the walk kernel emits rows in this
     #                   layout and the LPC kernel consumes (F, C*B) natively,
     #                   so keeping it end-to-end avoids two 32 MB relayouts
-    #                   per batch (reshape to lanes is free).
+    #                   per batch (reshape to lanes is free).  On the fused
+    #                   single-slot layout (fused_rows_layout) this is
+    #                   instead the element kernel's RAW rows buffer
+    #                   (passes*F_pad, NB, SL, 128) — the LPC kernel DMAs
+    #                   chunks straight out of it (lpc.py rows_nb).
     err: jnp.ndarray  # (B,)
     ns: jnp.ndarray  # (B,) decoded samples per packet
     order: jnp.ndarray  # (B, C)
@@ -94,6 +98,23 @@ _FETCH = os.environ.get("SAPROBE_WALK_FETCH", "onehot")
 #: "pallas" force; "pallas_interpret" runs the kernel in interpreter mode
 #: (slow — for CPU differential tests of the kernel itself).
 _IMPL = os.environ.get("SAPROBE_WALK_IMPL", "auto")
+
+
+def fused_rows_layout(walk_impl: str, lpc_impl: str, num_channels: int, batch: int) -> bool:
+    """True when the walk and LPC kernels fuse through the raw rows buffer:
+    both sides run their Pallas kernels, the element layout fits one slot
+    per lane (C <= 2: one CPE or one SCE) and the batch is whole lane blocks
+    (B % 128 == 0 — every production bucket; see ops/batch._bucket).  Static
+    decision, computed once in _decode_core and passed to _walk_batch so the
+    two sides always agree."""
+    from .lpc import _kernel_impl
+
+    return (
+        _dense_impl(walk_impl)
+        and _kernel_impl(lpc_impl)
+        and num_channels <= 2
+        and batch % 128 == 0
+    )
 
 
 def _dense_impl(impl: str) -> bool:
@@ -407,9 +428,10 @@ def walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb):
     jax.jit,
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb", "impl",
+        "fused",
     ),
 )
-def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb, impl):
+def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb, impl, fused=False):
     # The entropy loop fetches _BLK-word-aligned blocks; zero-pad the word
     # axis up so any caller's W works (production bucketing already rounds,
     # so this concat is a no-op on the hot path).
@@ -762,7 +784,7 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         st2["res"] = res
         return st2
 
-    def slot_body_dense(_, st, first=False):
+    def slot_body_dense(_, st, first=False, single=False):
         """Pallas slot body: ONE fused element-kernel call parses the 3-bit
         tag, headers and coefficients on the kernel's resident bit window
         and runs the 2-pass entropy walk (walk_kernel._element_kernel).
@@ -773,7 +795,17 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
         ``first=True`` is the peeled slot 0: there is no residual carry yet,
         so the merge's fallback is the constant 0 and the (F, C, B) stack is
-        materialized here instead of zero-initialized and re-read."""
+        materialized here instead of zero-initialized and re-read.
+
+        ``single=True`` is the fused single-slot layout (C <= 2, whole lane
+        blocks): the kernel runs unconditionally, st["res"] carries the
+        kernel's RAW rows buffer (passes*F_pad, NB, SL, 128) untouched — no
+        dispatch cond, no (F, C, B) merge select — and the LPC kernel DMAs
+        chunks straight out of it (lpc.py rows_nb).  Lanes whose layout
+        needs more than one element slot (SCE+SCE stereo, DSE/FIL prefixes)
+        are flagged ERR_SLOTS by the caller and re-decoded by the exact host
+        fallback; DSE/FIL skips and END alignment are skipped here (END is
+        implied done by the channel counter, exactly as in the loop body)."""
         from .walk_kernel import (
             M_BSF, M_COEFS_U, M_COEFS_V, M_COMP, M_CPE, M_DEN_U, M_DEN_V,
             M_ESC, M_ESC_BASE, M_ESC_END, M_MIXBITS, M_MIXRES, M_MODE_U,
@@ -824,6 +856,7 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
                 mb_cfg=cfg["mb"],
                 passes=passes_k,
                 interpret=cfg["impl"] == "pallas_interpret",
+                raw_rows=single,
             )
             meta = meta[:, :B]
             kerr = kerr[:B]
@@ -834,29 +867,34 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
 
             er = jnp.where(active & (kerr != ERR_NONE), kerr, er)
 
-            # Residual merge: ONE fused select into the carried (F, C, B)
-            # stack (kerr lanes keep their garbage rows; the exact-oracle
-            # fallback replaces them).  One-hot (C, B) channel masks keep
-            # this a single HBM pass over the stack instead of C separate
-            # per-plane selects + a post-loop jnp.stack copy (each ~0.2 ms
-            # at B=2048, hack/trace_top.py).  Escape lanes' raw samples
-            # come out of the SAME kernel rows (the raw walk lanes,
-            # decoder.go:326-345/507-535) — no post-hoc bit gather.
             act_u = is_comp_l | is_esc_l
-            act_v = (is_comp_l | is_esc_l) & is_cpe_l
-            F_pad = rows.shape[0] // passes_k
-            rows_u = rows[:F, :B]
-            cidx = jnp.arange(C, dtype=I32)[:, None]
-            m_u = act_u[None, :] & (chan[None, :] == cidx)  # (C, B)
-            if passes_k == 2:
-                rows_v = rows[F_pad : F_pad + F, :B]
-                m_v = act_v[None, :] & (chan[None, :] + 1 == cidx)
-                out = jnp.where(
-                    m_u[None], rows_u[:, None, :],
-                    jnp.where(m_v[None], rows_v[:, None, :], rs),
-                )
+            if single:
+                # No merge: the raw rows buffer IS the residual carry (the
+                # fused LPC consumes it in place; see lpc.py rows_nb).
+                out = rows
             else:
-                out = jnp.where(m_u[None], rows_u[:, None, :], rs)
+                # Residual merge: ONE fused select into the carried (F, C, B)
+                # stack (kerr lanes keep their garbage rows; the exact-oracle
+                # fallback replaces them).  One-hot (C, B) channel masks keep
+                # this a single HBM pass over the stack instead of C separate
+                # per-plane selects + a post-loop jnp.stack copy (each ~0.2 ms
+                # at B=2048, hack/trace_top.py).  Escape lanes' raw samples
+                # come out of the SAME kernel rows (the raw walk lanes,
+                # decoder.go:326-345/507-535) — no post-hoc bit gather.
+                act_v = act_u & is_cpe_l
+                F_pad = rows.shape[0] // passes_k
+                rows_u = rows[:F, :B]
+                cidx = jnp.arange(C, dtype=I32)[:, None]
+                m_u = act_u[None, :] & (chan[None, :] == cidx)  # (C, B)
+                if passes_k == 2:
+                    rows_v = rows[F_pad : F_pad + F, :B]
+                    m_v = act_v[None, :] & (chan[None, :] + 1 == cidx)
+                    out = jnp.where(
+                        m_u[None], rows_u[:, None, :],
+                        jnp.where(m_v[None], rows_v[:, None, :], rs),
+                    )
+                else:
+                    out = jnp.where(m_u[None], rows_u[:, None, :], rs)
 
             nbp = jnp.where(act_u, bp2, bp)
             nbp = jnp.where(is_esc_l, meta[M_ESC_END], nbp)
@@ -882,16 +920,24 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
             zc = jnp.zeros((B, 32), I32)
             return (bp, er, rs) + tuple(zb for _ in range(18)) + (zc, zc)
 
+        if single:
+            # Unconditional kernel call: at slot 0 every lane is live (or
+            # immediately errors in-kernel), so the all-idle dispatch cond —
+            # whose identity branch copies the big carry tuple — buys
+            # nothing and costs real copies.
+            results = run((bitpos, err))
+        else:
+            results = jax.lax.cond(
+                jnp.any(active), run, skip,
+                (bitpos, err) if first else (bitpos, err, st["res"]),
+            )
         (
             new_bitpos, err, res,
             m_tag, m_ns, m_bsf, m_esc, m_comp, m_mixbits, m_mixres,
             m_mode_u, m_den_u, m_num_u, m_mode_v, m_den_v, m_num_v,
             m_shift_base, m_esc_base, m_esc_end, m_sce, m_cpe,
             coefs_u, coefs_v,
-        ) = jax.lax.cond(
-            jnp.any(active), run, skip,
-            (bitpos, err) if first else (bitpos, err, st["res"]),
-        )
+        ) = results
 
         # Flags from the kernel's validated parse (masked to this slot's
         # active lanes; padded/idle lanes carry zeros).
@@ -941,20 +987,26 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
             )
             return p_dse, p_fil, err_l
 
-        p_dse, p_fil, err = jax.lax.cond(
-            jnp.any(is_dse | is_fil),
-            _parse_skip,
-            lambda: (jnp.zeros(B, I32), jnp.zeros(B, I32), err),
-        )
+        if single:
+            # Single-slot layout: DSE/FIL-prefixed lanes never get a second
+            # slot — they stay pending and the caller flags them ERR_SLOTS
+            # (exact host fallback).  No skip lengths, no END alignment.
+            pass
+        else:
+            p_dse, p_fil, err = jax.lax.cond(
+                jnp.any(is_dse | is_fil),
+                _parse_skip,
+                lambda: (jnp.zeros(B, I32), jnp.zeros(B, I32), err),
+            )
 
-        # --- END: byte-align then done (decoder.go:192-195) ---
-        p_end = (p0 + 7) & ~7
+            # --- END: byte-align then done (decoder.go:192-195) ---
+            p_end = (p0 + 7) & ~7
 
-        # --- Commit positions for non-entropy lanes (compressed + escape
-        # cursors were already applied inside `run`) ---
-        new_bitpos = jnp.where(is_dse & (err == ERR_NONE), p_dse, new_bitpos)
-        new_bitpos = jnp.where(is_fil & (err == ERR_NONE), p_fil, new_bitpos)
-        new_bitpos = jnp.where(is_end, p_end, new_bitpos)
+            # --- Commit positions for non-entropy lanes (compressed + escape
+            # cursors were already applied inside `run`) ---
+            new_bitpos = jnp.where(is_dse & (err == ERR_NONE), p_dse, new_bitpos)
+            new_bitpos = jnp.where(is_fil & (err == ERR_NONE), p_fil, new_bitpos)
+            new_bitpos = jnp.where(is_end, p_end, new_bitpos)
 
         # --- Record per-channel metadata ---
         chan_u = jnp.where(is_elem, chan, C)  # dummy column when masked
@@ -1009,6 +1061,39 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         return st2
 
     body_fn = slot_body_dense if dense else slot_body
+
+    if dense and fused:
+        assert C <= 2 and B % 128 == 0, (C, B)
+        # Fused single-slot layout (C <= 2, whole lane blocks — every
+        # production bucket): ONE unconditional element-kernel call, the raw
+        # rows buffer carried through WalkResult.res for the LPC kernel to
+        # DMA in place.  No dispatch cond, no (F, C, B) merge, no slot loop.
+        # Lanes needing more than one slot (SCE+SCE stereo, DSE/FIL
+        # prefixes, trailing elements) get ERR_SLOTS -> exact host fallback.
+        state = slot_body_dense(0, state, first=True, single=True)
+        err = jnp.where(
+            ~state["done"] & (state["err"] == ERR_NONE), ERR_SLOTS, state["err"]
+        )
+        return WalkResult(
+            res=state["res"],  # raw (passes*F_pad, NB, SL, 128) rows
+            err=err,
+            ns=state["ns"],
+            order=state["order"][:, :C],
+            mode=state["mode"][:, :C],
+            den=state["den"][:, :C],
+            cb=state["cb"][:, :C],
+            bs=state["bs"][:, :C],
+            esc=state["esc"][:, :C],
+            esc_base=state["esc_base"][:, :C],
+            esc_cb=state["esc_cb"][:, :C],
+            shift_base=state["shift_base"][:, :C],
+            coefs=state["coefs"][:, :C],
+            mixbits=state["mixbits"][:, :C],
+            mixres=state["mixres"][:, :C],
+            role=state["role"][:, :C],
+            out_chan=state["out_chan"][:, :C],
+            filled=state["filled"][:, :C],
+        )
 
     if dense:
         # Peel slot 0: every lane is live at slot 0 (or immediately errors),

@@ -1129,12 +1129,13 @@ def dense_entropy_pallas(
     jax.jit,
     static_argnames=(
         "kb", "F", "LB", "depth", "pb_cfg", "mb_cfg", "passes", "interpret",
-        "probe",
+        "probe", "raw_rows",
     ),
 )
 def dense_element_pallas(
     words_t, bitpos, pact, size_bits, ns_in, allow_cpe,
-    *, kb, F, LB, depth, pb_cfg, mb_cfg, passes, interpret=False, probe=""
+    *, kb, F, LB, depth, pb_cfg, mb_cfg, passes, interpret=False, probe="",
+    raw_rows=False,
 ):
     """Fused element decode over a lane-blocked grid: in-kernel tag +
     header + coefficient parse, then the 2-pass entropy walk.
@@ -1144,6 +1145,11 @@ def dense_element_pallas(
     lanes (input bitpos otherwise); meta rows are the M_* constants, with
     coefficients at rows M_COEFS_U.. and M_COEFS_V.. (already sign-extended
     int16 values).
+
+    ``raw_rows=True`` returns rows in the kernel's native HBM layout
+    (passes*F_pad, NB, SL, 128) so a downstream kernel (the LPC FIR) can DMA
+    chunks straight out of it — the (passes*F_pad, B) reshape is a real
+    retiling copy at production shapes (~0.1 ms at B=2048 F=4096).
     """
     words_t, W_pad = _pad_words(words_t)
     B = words_t.shape[1]
@@ -1209,7 +1215,7 @@ def dense_element_pallas(
         lanes(allow_cpe.astype(jnp.int32)),
     )
     return (
-        rows.reshape(passes * F_pad, B),
+        rows if raw_rows else rows.reshape(passes * F_pad, B),
         bitpos2.reshape(B),
         err.reshape(B),
         jnp.moveaxis(meta, 1, 0).reshape(META_ROWS, B),
