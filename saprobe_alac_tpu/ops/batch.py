@@ -24,6 +24,7 @@ from ..formats import bytes_per_sample
 from .bitpack import pack_packets_device_swap
 from .epilogue import extract_escape, extract_shift, finish_packed
 from . import lpc as _lpc_mod
+from .lpc import _kernel_impl as _kernel_lpc
 from . import walk as _walk_mod
 from .lpc import _lpc_batch
 from .walk import ERR_NONE, _walk_batch
@@ -78,12 +79,12 @@ def _byteswap_words(words):
     jax.jit,
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb",
-        "walk_impl", "lpc_impl", "pre_swapped",
+        "walk_impl", "lpc_impl", "pre_swapped", "taps",
     ),
 )
 def _decode_batch(
     words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
-    walk_impl, lpc_impl, pre_swapped=True,
+    walk_impl, lpc_impl, pre_swapped=True, taps=9,
 ):
     if not pre_swapped:
         # Host uploaded raw little-endian words (single-core packer skips
@@ -91,7 +92,7 @@ def _decode_batch(
         words = _byteswap_words(words)
     return _decode_core(
         words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
-        walk_impl, lpc_impl,
+        walk_impl, lpc_impl, taps,
     )
 
 
@@ -99,12 +100,12 @@ def _decode_batch(
     jax.jit,
     static_argnames=(
         "w_bucket", "frame_length", "num_channels", "depth", "pb", "mb",
-        "kb", "walk_impl", "lpc_impl", "pre_swapped",
+        "kb", "walk_impl", "lpc_impl", "pre_swapped", "taps",
     ),
 )
 def _decode_batch_tight(
     flat, offsets, size_bits, w_bucket, frame_length, num_channels, depth,
-    pb, mb, kb, walk_impl, lpc_impl, pre_swapped=False,
+    pb, mb, kb, walk_impl, lpc_impl, pre_swapped=False, taps=9,
 ):
     """Decode from a TIGHT staging buffer: packets concatenated back to back
     (each padded only to its own word boundary) plus per-packet word offsets.
@@ -129,13 +130,13 @@ def _decode_batch_tight(
     )
     return _decode_core(
         words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
-        walk_impl, lpc_impl,
+        walk_impl, lpc_impl, taps,
     )
 
 
 def _decode_core(
     words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
-    walk_impl, lpc_impl,
+    walk_impl, lpc_impl, taps=9,
 ):
     F = frame_length
     C = num_channels
@@ -191,7 +192,19 @@ def _decode_core(
         F,
         lpc_impl,
         rows_nb=rows_nb,
+        taps=taps if _kernel_lpc(lpc_impl) else None,
     )
+
+    # Per-packet "wide FIR" flag for the 9-then-32 taps retry protocol: the
+    # 9-tap executable is the steady state (orders 1-8 are what real encoders
+    # emit — the reference hand-unrolls exactly 4/5/6/8, predictor.go:99-618);
+    # a batch with any order-9..30 lane is re-dispatched once through the
+    # cached 32-tap executable by finish_async.  Replaces the on-device
+    # lax.cond whose boundary copies cost ~0.35 ms/batch.
+    if _kernel_lpc(lpc_impl) and taps == 9:
+        wide = jnp.any((w.order >= 9) & (w.order <= 30), axis=1)
+    else:
+        wide = jnp.zeros(B, bool)  # 32-tap / XLA scan handle every order
 
     # bytesShifted > 0 only appears on 24/32-bit streams; skip the extraction
     # entirely when no lane carries a shift region (XLA DCEs the whole cond
@@ -219,7 +232,7 @@ def _decode_core(
         mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan,
         w.filled, F, C, depth,
     )
-    return packed, w.err, w.ns
+    return packed, w.err, w.ns, wide
 
 
 class JaxBatchDecoder:
@@ -279,9 +292,13 @@ class JaxBatchDecoder:
         Wb = _bucket(int(wc.max()) + GUARD_WORDS if B else 16, floor=16)
         return flat, offsets, sizes, Wb
 
-    def decode_async(self, packets: Sequence[bytes]):
-        """Dispatch a batch; returns device arrays (packed, err, ns) without
-        blocking — callers can pipeline multiple batches in flight."""
+    def decode_async(self, packets: Sequence[bytes], taps: int = 9):
+        """Dispatch a batch; returns device arrays (packed, err, ns, wide)
+        without blocking — callers can pipeline multiple batches in flight.
+
+        ``taps=9`` is the steady-state executable (orders 1-8); finish_async
+        re-dispatches through the cached ``taps=32`` executable when the
+        batch's `wide` flag reports an order-9..30 lane."""
         cfg = self.config
         # Impl selections are read at call time so tests/sweeps flipping the
         # module globals get a fresh trace (they are static jit args).
@@ -301,6 +318,7 @@ class JaxBatchDecoder:
                 _walk_mod._IMPL,
                 _lpc_mod._IMPL,
                 pre_swapped=False,
+                taps=taps,
             )
         words, sizes, swapped = self._stage(packets)
         return _decode_batch(
@@ -315,6 +333,7 @@ class JaxBatchDecoder:
             _walk_mod._IMPL,
             _lpc_mod._IMPL,
             pre_swapped=swapped,
+            taps=taps,
         )
 
     def _to_bytes(self, packed_row: np.ndarray, ns: int) -> bytes:
@@ -338,7 +357,13 @@ class JaxBatchDecoder:
     def finish_async(self, handle, packets: Sequence[bytes]) -> list[bytes]:
         """Materialize a decode_async result into per-packet PCM bytes."""
         cfg = self.config
-        packed, err, ns = handle
+        packed, err, ns, wide = handle
+        # 9-then-32 taps retry: a batch with any FIR order in 9..30 (legal
+        # but unseen from real encoders) re-runs once through the cached
+        # 32-tap executable.  One bool per packet rides the handle — no
+        # extra sync (err/ns are materialized here anyway).
+        if bool(np.asarray(wide)[: len(packets)].any()):
+            packed, err, ns, _ = self.decode_async(packets, taps=32)
         packed = np.asarray(packed)
         err = np.asarray(err)
         ns = np.asarray(ns)

@@ -62,8 +62,8 @@ def lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length):
     return _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, _IMPL)
 
 
-@partial(jax.jit, static_argnames=("frame_length", "impl", "rows_nb"))
-def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl, rows_nb=None):
+@partial(jax.jit, static_argnames=("frame_length", "impl", "rows_nb", "taps"))
+def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl, rows_nb=None, taps=None):
     """Reconstruct samples from residuals for all lanes.
 
     res_t: (F, L) int32 entropy residuals, F-major (the walk kernel's row
@@ -180,13 +180,24 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl, rows_
 
         # Real encoders sit at orders 4-8 (the reference hand-unrolls
         # exactly those, predictor.go:99-618); a 9-tap kernel variant runs
-        # ~3x fewer tap ops.  Dispatch on-device per batch — no host sync.
-        max_fir = jnp.max(jnp.where(is_fir, order, 0))
-        out_t = jax.lax.cond(
-            max_fir <= 8,
-            lambda: lpc_fir_pallas(*kargs, coefs_t[:9], taps=9, **kw),
-            lambda: lpc_fir_pallas(*kargs, coefs_t, taps=32, **kw),
-        )
+        # ~3x fewer tap ops.  With ``taps`` static (the batch decoder's
+        # 9-then-retry-at-32 protocol; see _decode_core's `wide` flag) the
+        # variant is picked at trace time — the on-device lax.cond dispatch
+        # this replaces moved the big residual/output buffers through the
+        # conditional's boundary copies (~0.35 ms at B=2048 F=4096,
+        # hack/trace_top.py).  taps=None keeps the cond for standalone
+        # callers with no retry protocol.
+        if taps == 9:
+            out_t = lpc_fir_pallas(*kargs, coefs_t[:9], taps=9, **kw)
+        elif taps == 32:
+            out_t = lpc_fir_pallas(*kargs, coefs_t, taps=32, **kw)
+        else:
+            max_fir = jnp.max(jnp.where(is_fir, order, 0))
+            out_t = jax.lax.cond(
+                max_fir <= 8,
+                lambda: lpc_fir_pallas(*kargs, coefs_t[:9], taps=9, **kw),
+                lambda: lpc_fir_pallas(*kargs, coefs_t, taps=32, **kw),
+            )
         return out_t[:F, :L]
 
     # --- XLA scan fallback (CPU backends / tests): lane-major internally ---

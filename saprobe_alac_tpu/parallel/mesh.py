@@ -41,35 +41,46 @@ class ShardedBatchDecoder(JaxBatchDecoder):
         self.mesh = mesh if mesh is not None else make_packet_mesh()
         self._n = self.mesh.devices.size
 
-        from ..ops import lpc as _lpc_mod
-        from ..ops import walk as _walk_mod
+        self._fns = {}
 
-        cfg = config
-        single = partial(
-            _decode_batch,
-            frame_length=cfg.frame_length,
-            num_channels=cfg.num_channels,
-            depth=cfg.bit_depth,
-            pb=cfg.pb,
-            mb=cfg.mb,
-            kb=cfg.kb,
-            # Impl selections bind at construction: build a fresh decoder
-            # after flipping the module globals (they are static jit args).
-            walk_impl=_walk_mod._IMPL,
-            lpc_impl=_lpc_mod._IMPL,
-        )
-        sharded = jax.shard_map(
-            single,
-            mesh=self.mesh,
-            in_specs=(P(PACKET_AXIS, None), P(PACKET_AXIS)),
-            out_specs=(P(PACKET_AXIS, None), P(PACKET_AXIS), P(PACKET_AXIS)),
-            # Loop carries are seeded from replicated literals; skip the
-            # varying-manual-axes check (everything here is lane-local).
-            check_vma=False,
-        )
-        self._fn = jax.jit(sharded)
+    def _fn(self, taps: int):
+        """Sharded executable per taps variant (9 steady-state / 32 retry),
+        built lazily and cached."""
+        if taps not in self._fns:
+            from ..ops import lpc as _lpc_mod
+            from ..ops import walk as _walk_mod
 
-    def decode_async(self, packets: Sequence[bytes]):
+            cfg = self.config
+            single = partial(
+                _decode_batch,
+                frame_length=cfg.frame_length,
+                num_channels=cfg.num_channels,
+                depth=cfg.bit_depth,
+                pb=cfg.pb,
+                mb=cfg.mb,
+                kb=cfg.kb,
+                # Impl selections bind at first use: build a fresh decoder
+                # after flipping the module globals (they are static jit args).
+                walk_impl=_walk_mod._IMPL,
+                lpc_impl=_lpc_mod._IMPL,
+                taps=taps,
+            )
+            sharded = jax.shard_map(
+                single,
+                mesh=self.mesh,
+                in_specs=(P(PACKET_AXIS, None), P(PACKET_AXIS)),
+                out_specs=(
+                    P(PACKET_AXIS, None), P(PACKET_AXIS), P(PACKET_AXIS),
+                    P(PACKET_AXIS),
+                ),
+                # Loop carries are seeded from replicated literals; skip the
+                # varying-manual-axes check (everything here is lane-local).
+                check_vma=False,
+            )
+            self._fns[taps] = jax.jit(sharded)
+        return self._fns[taps]
+
+    def decode_async(self, packets: Sequence[bytes], taps: int = 9):
         words_np, sizes_np = pack_packets(list(packets))
         B = len(packets)
         n = self._n
@@ -85,4 +96,4 @@ class ShardedBatchDecoder(JaxBatchDecoder):
         in1 = NamedSharding(self.mesh, P(PACKET_AXIS))
         words_d = jax.device_put(jnp.asarray(words), in2)
         sizes_d = jax.device_put(jnp.asarray(sizes), in1)
-        return self._fn(words_d, sizes_d)
+        return self._fn(taps)(words_d, sizes_d)

@@ -135,6 +135,34 @@ def test_fused_underpopulated_sce_lane():
     assert got == want
 
 
+def test_wide_order_retries_at_32_taps():
+    """FIR orders 9..30 flip the per-packet `wide` flag and finish_async
+    re-dispatches through the 32-tap executable — output bit-exact, steady
+    state stays on the 9-tap executable (no on-device taps cond)."""
+    import numpy as np
+
+    cfg = make_config(depth=16, channels=2, frame_length=F)
+    spec = EncoderSpec(channel=ChannelSpec(order=12))
+    pcm = music_pcm(2 * F, 2, 16, seed=21)
+    pkts = encode_packets(cfg, spec, pcm)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    dec = fused_decoder(16, 2)
+    batch = [pkts[i % len(pkts)] for i in range(B)]
+    handle = dec.decode_async(batch)
+    wide = np.asarray(handle[3])
+    assert wide[: len(batch)].all(), "order-12 lanes must flag wide"
+    got = dec.finish_async(handle, batch)
+    assert all(g == want[i % len(want)] for i, g in enumerate(got))
+
+    # Steady state: order <= 8 batches never flag.
+    pkts8 = encode_packets(cfg, EncoderSpec(channel=ChannelSpec(order=8)),
+                           music_pcm(F, 2, 16, seed=22))
+    h8 = dec.decode_async([pkts8[0]] * B)
+    assert not np.asarray(h8[3]).any()
+    want8 = oracle(cfg, pkts8[0])[0]
+    assert all(g == want8 for g in dec.finish_async(h8, [pkts8[0]] * B))
+
+
 def test_fused_corrupt_lane_falls_back():
     """Truncated packet in a fused batch: per-lane error -> oracle error
     semantics preserved (the good lanes stay on-device)."""
