@@ -206,28 +206,30 @@ def _decode_core(
     else:
         wide = jnp.zeros(B, bool)  # 32-tap / XLA scan handle every order
 
-    # bytesShifted > 0 only appears on 24/32-bit streams; skip the extraction
-    # entirely when no lane carries a shift region (XLA DCEs the whole cond
-    # for static depth 16/20, where finish() never reads shift_vals).  On
-    # the dense path the Pallas raw reader streams the region; the XLA
-    # fallback keeps the vread gather.
+    # bytesShifted > 0 only appears on 24/32-bit streams (depth is static:
+    # for 16/20 finish() never reads shift_vals and XLA DCEs everything
+    # here).  On the dense path the Pallas raw reader streams the region and
+    # runs UNCONDITIONALLY for 24/32-bit: with every lane inactive (bs == 0)
+    # its group loop takes zero trips (~tens of us), while the lax.cond this
+    # replaces moved the (F, C, B) result through conditional boundary
+    # copies (~0.3 ms on a fully-shifted hires batch, hack/trace_top.py).
+    # The XLA fallback keeps the gather behind the cond — there the inactive
+    # case is NOT cheap.
     if _dense_impl(walk_impl):
         from .epilogue import extract_shift_kernel
 
-        def _shift():
-            return extract_shift_kernel(
+        if depth in (24, 32):
+            shift_vals = extract_shift_kernel(
                 words, w.shift_base, w.bs, w.role, w.ns, F, C, walk_impl
             )
+        else:
+            shift_vals = jnp.zeros((F, C, B), jnp.int32)
     else:
-
-        def _shift():
-            return extract_shift(words, w.shift_base, w.bs, w.role, F, C)
-
-    shift_vals = jax.lax.cond(
-        jnp.any(w.bs > 0),
-        _shift,
-        lambda: jnp.zeros((F, C, B), jnp.int32),
-    )
+        shift_vals = jax.lax.cond(
+            jnp.any(w.bs > 0),
+            lambda: extract_shift(words, w.shift_base, w.bs, w.role, F, C),
+            lambda: jnp.zeros((F, C, B), jnp.int32),
+        )
     packed = finish_packed(
         mix, shift_vals, w.bs, w.mixbits, w.mixres, w.role, w.out_chan,
         w.filled, F, C, depth,
