@@ -334,8 +334,34 @@ def encode_walk(
     bs = bytes_shifted if depth >= 24 else 0
     lfe_idx = _LFE_BITSTREAM_IDX.get(C, -1)
 
-    # Worst case ~72 bits per channel-sample + headers, per element and total.
-    W = ((F * C * 72 + 4096 * C) // 32) + 8
+    # Tight worst-case sizing.  One entropy-loop iteration always advances
+    # the sample cursor and emits at most one sample code (prefix <= 9 plus
+    # a suffix <= max(kb, chanBits) — the escape suffix is chanBits wide)
+    # and one interleaved zero-run code (prefix <= 9 + 16-bit run escape),
+    # so a channel body is <= ns * bps bits.  The verbatim variant is
+    # exactly header + ns*nch*depth bits; whenever escape is a candidate
+    # (force/auto) the blitted element is no larger than the verbatim one,
+    # which keeps the final packet buffer ~4x smaller than the compressed
+    # scratch bound.  Oversized zero-tail blits stay safe: _emit/_emit_many
+    # clip word indices and the clipped tail words add zeros.
+    def _bounds(ei, width_e):
+        order_e = elem_specs[ei][0]
+        nch_e = 2 if width_e == 2 else 1
+        bs_el = max(bs, 1) if (width_e == 2 and depth == 32) else bs
+        cb_e = depth - bs_el * 8 + (1 if width_e == 2 else 0)
+        bps = 9 + max(kb, cb_e) + 26
+        hdr = 64
+        esc_bits = hdr + F * nch_e * depth
+        comp_bits = (hdr + 16 + nch_e * (24 + 16 * order_e)
+                     + F * nch_e * 8 * bs_el + F * nch_e * bps)
+        if force_escape or auto_escape:
+            chosen_bits = esc_bits
+        else:
+            chosen_bits = max(esc_bits, comp_bits)
+        return bps, comp_bits, esc_bits, chosen_bits
+
+    _elem_bounds = [_bounds(ei, w_e) for ei, w_e in enumerate(layout)]
+    W = (sum(b[3] for b in _elem_bounds) + 16) // 32 + 4
     words = jnp.zeros((B, W), I32)
     bitpos = jnp.zeros(B, I32)
     partial_f = ns != F
@@ -436,8 +462,9 @@ def encode_walk(
         # earlier candidate; argmin matches).  Single-candidate elements keep
         # the cheaper in-place emission below.
         bodies = None
+        bps_e = _elem_bounds[ei][0]
         if len(pb_cands) > 1:
-            Wch = ((F * 72 + 256) // 32) + 4
+            Wch = ((F * bps_e + 256) // 32) + 4
             bodies = []
             for res in res_list:
                 zrun = _zero_run_table(res, ns)
@@ -459,7 +486,7 @@ def encode_walk(
                 bodies.append((buf, jnp.min(lens, axis=1), pbf_lane))
 
         # --- compressed variant (scratch) ---
-        Ws = ((F * nch * 72 + 4096) // 32) + 4
+        Ws = (_elem_bounds[ei][1] + 31) // 32 + 4
         sc = jnp.zeros((B, Ws), I32)
         sp = jnp.zeros(B, I32)
         sc, sp = emit_hdr(sc, sp, tag, bs_e, 0)
