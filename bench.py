@@ -320,44 +320,12 @@ def main() -> int:
     # Rotated batches: distinct content per dispatch (the tunnel acks
     # repeated identical transfers early — round-3 gotcha).
     rot = [batch[v:] + batch[:v] for v in range(3)]
-
-    # (a) End-to-end: compressed packets in, PCM bytes back to host.
-    # Upload worker overlaps downloads (full-duplex tunnel); the result is
-    # pulled as two halves on two threads (2-stream D2H measured ~1.4x).
-    from concurrent.futures import ThreadPoolExecutor
-
-    split = jax.jit(lambda x: (x[: x.shape[0] // 2], x[x.shape[0] // 2 :]))
-    jax.block_until_ready(split(warm_out))
-    down_ex = ThreadPoolExecutor(2)
-
-    def e2e_consume(h):
-        top, bot = split(h[0])
-        f1 = down_ex.submit(np.asarray, top)
-        f2 = down_ex.submit(np.asarray, bot)
-        f1.result()
-        f2.result()
-
-    per_batch_e2e, e2e_sd, e2e_n = pipelined(
-        lambda i: dec.decode_async(rot[i % 3]), e2e_consume
-    )
-    x_e2e = audio_seconds / per_batch_e2e
-    log(f"end-to-end (PCM to host): {per_batch_e2e*1e3:.1f} ms/batch "
-        f"(median of {e2e_n}, stddev {e2e_sd*1e3:.1f} ms) -> {x_e2e:.0f}x realtime")
-
-    # (b) Device-resident: decoded PCM consumed on-device (checksum crosses);
-    # compressed packets still upload per batch.
     csum = jax.jit(lambda p: jnp.sum(p.astype(jnp.int32)))
-    per_batch_dr, dr_sd, dr_n = pipelined(
-        lambda i: csum(dec.decode_async(rot[i % 3])[0]),
-        lambda h: np.asarray(h),
-    )
-    x_dr = audio_seconds / per_batch_dr
-    log(f"device-resident: {per_batch_dr*1e3:.1f} ms/batch "
-        f"(median of {dr_n}, stddev {dr_sd*1e3:.1f} ms) -> {x_dr:.0f}x realtime")
 
-    # (c) Device compute: packets pre-staged in HBM, PCM consumed on-device —
+    # (a) Device compute: packets pre-staged in HBM, PCM consumed on-device —
     # the apples-to-apples number vs the reference's in-RAM single-core
-    # decode (its 2630x also excludes any I/O).
+    # decode (its 2630x also excludes any I/O).  Measured FIRST so the e2e
+    # sub-runs below can fold the compute term into their duplex ceiling.
     from saprobe_alac_tpu.ops.batch import _bucket
     from saprobe_alac_tpu.ops.bitpack import pack_packets
 
@@ -439,6 +407,102 @@ def main() -> int:
     log(f"device compute (pre-staged): {per_batch_dc*1e3:.1f} ms/batch "
         f"(median of 3 blocks, stddev {dc_sd*1e3:.2f} ms) -> {x_dc:.0f}x realtime")
 
+    # (b) Device-resident: decoded PCM consumed on-device (checksum crosses);
+    # compressed packets still upload per batch.
+    per_batch_dr, dr_sd, dr_n = pipelined(
+        lambda i: csum(dec.decode_async(rot[i % 3])[0]),
+        lambda h: np.asarray(h),
+    )
+    x_dr = audio_seconds / per_batch_dr
+    log(f"device-resident: {per_batch_dr*1e3:.1f} ms/batch "
+        f"(median of {dr_n}, stddev {dr_sd*1e3:.1f} ms) -> {x_dr:.0f}x realtime")
+
+    # (c) End-to-end: compressed packets in, PCM bytes back to host — THREE
+    # consecutive sub-runs (VERDICT r4 #4: the driver's independent run saw
+    # 89x where the committed artifact said 154x; one lucky run is not
+    # evidence).  Each sub-run re-measures the link immediately before it
+    # and reports its own duplex efficiency (x_e2e over the ceiling set by
+    # max(upload, download, compute) — full overlap).  If a sub-run lands
+    # under the 0.8 bar the pipeline degrades gracefully: first a deeper
+    # pipeline (hides link wobble), then a 4-way download split; the
+    # adapted shape re-runs and every attempt stays in the artifact.
+    from concurrent.futures import ThreadPoolExecutor
+
+    split2 = jax.jit(lambda x: (x[: x.shape[0] // 2], x[x.shape[0] // 2 :]))
+    _q = warm_out.shape[0] // 4
+    split4 = jax.jit(
+        lambda x: (x[:_q], x[_q : 2 * _q], x[2 * _q : 3 * _q], x[3 * _q :])
+    )
+    jax.block_until_ready(split2(warm_out))
+    jax.block_until_ready(split4(warm_out))
+    down_ex = ThreadPoolExecutor(4)
+
+    def make_consume(ways):
+        sp = split2 if ways == 2 else split4
+
+        def consume(h):
+            futs = [down_ex.submit(np.asarray, p) for p in sp(h[0])]
+            for f in futs:
+                f.result()
+
+        return consume
+
+    import statistics
+
+    e2e_runs = []
+    e2e_depth, e2e_ways = DEPTH, 2
+    n_subruns = int(os.environ.get("BENCH_E2E_SUBRUNS", "3"))
+    adapted = 0
+    i_run = 0
+    while i_run < n_subruns:
+        rh2d, rd2h = sustained_link(flat_np, warm_out)
+        med, sd, n_ = pipelined(
+            lambda i: dec.decode_async(rot[i % 3]),
+            make_consume(e2e_ways),
+            depth=e2e_depth,
+        )
+        x_run = audio_seconds / med
+        r_up = bytes_in / (rh2d * 1e6)
+        r_down = bytes_out / (rd2h * 1e6)
+        duplex_x_run = audio_seconds / max(r_up, r_down, per_batch_dc)
+        eff = x_run / duplex_x_run
+        e2e_runs.append({
+            "ms_median": round(med * 1e3, 1),
+            "ms_stddev": round(sd * 1e3, 1),
+            "x_realtime": round(x_run, 1),
+            "duplex_efficiency": round(eff, 3),
+            "h2d_MBps": round(rh2d, 1),
+            "d2h_MBps": round(rd2h, 1),
+            "depth": e2e_depth,
+            "dl_streams": e2e_ways,
+        })
+        log(f"e2e sub-run {len(e2e_runs)}: {med*1e3:.1f} ms/batch "
+            f"(stddev {sd*1e3:.1f} ms, n={n_}) -> {x_run:.0f}x realtime, "
+            f"duplex efficiency {eff:.2f} (link {rh2d:.1f}/{rd2h:.1f} MB/s, "
+            f"depth {e2e_depth}, {e2e_ways}-way DL)")
+        if eff < 0.8 and adapted < 2:
+            adapted += 1
+            if adapted == 1:
+                e2e_depth += 1
+            else:
+                e2e_ways = 4
+            log(f"  under the 0.8 duplex-efficiency bar — adapting to "
+                f"depth={e2e_depth}, dl_streams={e2e_ways} and re-running")
+            continue  # re-attempt this sub-run index with the new shape
+        i_run += 1
+
+    per_batch_e2e = statistics.median([r["ms_median"] for r in e2e_runs]) / 1e3
+    e2e_sd = statistics.median([r["ms_stddev"] for r in e2e_runs]) / 1e3
+    e2e_n = len(e2e_runs)
+    x_e2e = audio_seconds / per_batch_e2e
+    duplex_eff_min = min(r["duplex_efficiency"] for r in e2e_runs)
+    duplex_eff_med = statistics.median(
+        [r["duplex_efficiency"] for r in e2e_runs]
+    )
+    log(f"end-to-end (PCM to host): {per_batch_e2e*1e3:.1f} ms/batch median "
+        f"over {e2e_n} sub-runs -> {x_e2e:.0f}x realtime; duplex efficiency "
+        f"min {duplex_eff_min:.2f} / median {duplex_eff_med:.2f}")
+
     # (d) Noise regime: white noise encodes to escape (raw) elements — the
     # reference's own benchmark inverts to ~50% bit-reads here
     # (docs/QA.md:138-147 of the reference).  The dense walk kernel decodes
@@ -492,6 +556,106 @@ def main() -> int:
             log(f"HIRES row failed ({e!r}) — emitting 0")
             x_hires = 0.0
 
+    # Interactive latency GATE: a warm small-batch decode through the full
+    # public path (pack + upload + decode + download + slice) must stay
+    # within a tunnel-aware budget (5x the measured RTT, floor 75 ms) —
+    # round 2 had a silent ~1 s regression here; this makes that class of
+    # bug visible in the committed artifact.  Median of 5, one retry (the
+    # tunnel hiccups).
+    small = batch[:32]
+    dec.decode_packets(small)
+
+    def _warm_b32():
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dec.decode_packets(small)
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    lat_b32 = _warm_b32()
+    lat_budget = max(5 * rtt, 0.075)
+    lat_ok = lat_b32 < lat_budget
+    if not lat_ok:
+        log(f"warm B=32 {lat_b32*1e3:.1f} ms over budget "
+            f"{lat_budget*1e3:.1f} ms — retrying once")
+        lat_b32 = min(lat_b32, _warm_b32())
+        lat_ok = lat_b32 < lat_budget
+    log(f"warm B=32 decode (facade unit): {lat_b32*1e3:.1f} ms "
+        f"(budget {lat_budget*1e3:.1f} ms -> {'OK' if lat_ok else 'FAIL'})")
+    if not lat_ok:
+        log("ERROR: latency gate FAILED")
+
+    # Ceilings from the sustained in-run link rates and the same buffers the
+    # pipeline moves.  serial = up + down (no overlap); duplex = max(up,
+    # down, compute) (full overlap — the tunnel is full-duplex).  Two
+    # efficiency fields ship: `overlap_efficiency` (legacy, vs the SERIAL
+    # ceiling, clamped at 1 — >1 just means overlap works) and
+    # `e2e_duplex_efficiency_*` (UNCLAMPED, vs the duplex ceiling, per
+    # sub-run — the honest number; VERDICT r4 weak #4).
+    t_up = bytes_in / (h2d * 1e6)
+    t_down = bytes_out / (d2h * 1e6)
+    link_bound_x = audio_seconds / (t_up + t_down)
+    duplex_bound_x = audio_seconds / max(t_up, t_down)
+    bound_x = min(link_bound_x, x_dc)
+    if x_e2e > bound_x:
+        log(f"(e2e {x_e2e:.0f}x exceeds the serial-link ceiling {bound_x:.0f}x "
+            f"— upload/download overlap is doing its job; clamped to 1)")
+    overlap_eff = min(1.0, x_e2e / bound_x)
+    pcie = 10e9  # bytes/s per direction, conservative Gen4 x8
+    pcie_bound_x = audio_seconds / (bytes_in / pcie + bytes_out / pcie)
+    log(
+        f"link-bound ceiling: serial {link_bound_x:.0f}x / duplex "
+        f"{duplex_bound_x:.0f}x; overlap efficiency {overlap_eff:.2f}; "
+        f"PCIe(10GB/s) projection: {min(pcie_bound_x, x_dc):.0f}x realtime"
+    )
+
+    # The headline JSON ships NOW, before the (slow) encode rows, so the
+    # driver's capture has a complete machine-readable record even if its
+    # wall-clock budget expires mid-encode (VERDICT r4 weak #1: BENCH_r04
+    # was rc=124 with parsed:null).  The encode rows re-print an updated
+    # final line below; parsers take the LAST complete line.
+    result = {
+        "metric": "decode_x_realtime_44k16_stereo_device",
+        "value": round(x_dc, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_dc / 2630.0, 3),
+        # Legacy round-1 metric name, kept for round-over-round
+        # comparability (it was end-to-end throughput).
+        "decode_x_realtime_44k16_stereo": round(x_e2e, 1),
+        "device_resident_x_realtime": round(x_dr, 1),
+        "e2e_x_realtime": round(x_e2e, 1),
+        "e2e_ms_median": round(per_batch_e2e * 1e3, 1),
+        "e2e_ms_stddev": round(e2e_sd * 1e3, 1),
+        "e2e_n": e2e_n,
+        "e2e_runs": e2e_runs,
+        "e2e_duplex_efficiency_min": round(duplex_eff_min, 3),
+        "e2e_duplex_efficiency_median": round(duplex_eff_med, 3),
+        "dr_ms_median": round(per_batch_dr * 1e3, 1),
+        "dr_ms_stddev": round(dr_sd * 1e3, 1),
+        "dc_ms_median": round(per_batch_dc * 1e3, 2),
+        "dc_ms_stddev": round(dc_sd * 1e3, 2),
+        "link_h2d_MBps": round(h2d, 1),
+        "link_d2h_MBps": round(d2h, 1),
+        "link_rtt_ms": round(rtt * 1e3, 2),
+        "bytes_in_MB": round(bytes_in / 1e6, 1),
+        "bytes_out_MB": round(bytes_out / 1e6, 1),
+        "link_bound_x_realtime": round(link_bound_x, 1),
+        "duplex_bound_x_realtime": round(duplex_bound_x, 1),
+        "overlap_efficiency": round(overlap_eff, 3),
+        "latency_warm_b32_ms": round(lat_b32 * 1e3, 1),
+        "latency_budget_ms": round(lat_budget * 1e3, 1),
+        "latency_gate_ok": lat_ok,
+        "pcie_projected_x_realtime": round(min(pcie_bound_x, x_dc), 1),
+        "noise_device_x_realtime": round(x_noise, 1),
+        "hires_device_x_realtime": round(x_hires, 1),
+        "encode_device_x_realtime": 0.0,
+        "encode_host_x_realtime": 0.0,
+        "encode_rows_pending": True,
+        "batch": BATCH,
+    }
+    print(json.dumps(result), flush=True)
+
     # (f) Encode regime: the device-side encoder (ops/encode_device.py) —
     # PCM planes pre-staged in HBM, packets assembled on-device (LPC forward
     # + lockstep Golomb-Rice emission).  The reference has no encoder at all
@@ -540,15 +704,28 @@ def main() -> int:
             ecsum = jax.jit(
                 lambda w, b: jnp.sum(w.astype(jnp.int32)) + jnp.sum(b)
             )
-            np.asarray(ecsum(*enc_fn(*evars[0])))  # warm
+            np.asarray(ecsum(*enc_fn(*evars[0])))  # warm (incl. compile)
+            # Wall-clock budget the row (VERDICT r4 weak #1: at ~21 s/batch
+            # the fixed 3x16-dispatch schedule alone was ~17 min and timed
+            # the driver out).  One timed probe sizes reps x iters to fit.
+            t0 = time.perf_counter()
+            np.asarray(ecsum(*enc_fn(*evars[0])))
+            t_probe = time.perf_counter() - t0
+            enc_budget = float(os.environ.get("BENCH_ENCODE_BUDGET_S", "120"))
+            n_total = max(2, min(3 * dc_iters,
+                                 int(enc_budget / max(t_probe, 1e-3))))
+            e_reps = min(3, n_total)
+            e_iters = max(1, n_total // e_reps)
+            log(f"device ENCODE probe: {t_probe*1e3:.0f} ms/batch -> "
+                f"{e_reps} reps x {e_iters} iters within {enc_budget:.0f}s budget")
             enc_reps = []
-            for _ in range(3):
+            for _ in range(e_reps):
                 t0 = time.perf_counter()
                 last = None
-                for i in range(dc_iters):
+                for i in range(e_iters):
                     last = ecsum(*enc_fn(*evars[i % len(evars)]))
                 np.asarray(last)
-                enc_reps.append((time.perf_counter() - t0 - rtt) / dc_iters)
+                enc_reps.append((time.perf_counter() - t0 - rtt) / e_iters)
             per_batch_enc = statistics.median(enc_reps)
             x_enc = audio_seconds / per_batch_enc
             log(f"device ENCODE (pre-staged PCM): {per_batch_enc*1e3:.1f} ms/batch "
@@ -604,103 +781,11 @@ def main() -> int:
             log(f"host ENCODE row failed ({e!r}) — emitting 0")
             x_enc_host = 0.0
 
-    # Overlap accounting: how close is sustained e2e to the hard ceiling set
-    # by the measured link and the measured compute?  (The sandbox tunnel is
-    # ~100-1000x slower than production PCIe, so e2e here is link-bound by
-    # construction; this quantifies how much of the remaining gap is overlap
-    # loss vs physics.)  The PCIe projection applies the same arithmetic at
-    # a production link rate.
-    # Interactive latency GATE: a warm small-batch decode through the full
-    # public path (pack + upload + decode + download + slice) must stay
-    # within a tunnel-aware budget (5x the measured RTT, floor 75 ms) —
-    # round 2 had a silent ~1 s regression here; this makes that class of
-    # bug visible in the committed artifact.  Median of 5, one retry (the
-    # tunnel hiccups).
-    small = batch[:32]
-    dec.decode_packets(small)
-
-    def _warm_b32():
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            dec.decode_packets(small)
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts)
-
-    lat_b32 = _warm_b32()
-    lat_budget = max(5 * rtt, 0.075)
-    lat_ok = lat_b32 < lat_budget
-    if not lat_ok:
-        log(f"warm B=32 {lat_b32*1e3:.1f} ms over budget "
-            f"{lat_budget*1e3:.1f} ms — retrying once")
-        lat_b32 = min(lat_b32, _warm_b32())
-        lat_ok = lat_b32 < lat_budget
-    log(f"warm B=32 decode (facade unit): {lat_b32*1e3:.1f} ms "
-        f"(budget {lat_budget*1e3:.1f} ms -> {'OK' if lat_ok else 'FAIL'})")
-    if not lat_ok:
-        log("ERROR: latency gate FAILED")
-
-    # Ceilings from the sustained in-run link rates and the same buffers the
-    # pipeline moves.  serial = up + down (no overlap); duplex = max(up,
-    # down) (full overlap — the tunnel is full-duplex).  Efficiency is e2e
-    # against min(serial ceiling, compute): > 1 means the duplex pipeline
-    # beat the no-overlap bound, which is the point — clamp for the field.
-    t_up = bytes_in / (h2d * 1e6)
-    t_down = bytes_out / (d2h * 1e6)
-    link_bound_x = audio_seconds / (t_up + t_down)
-    duplex_bound_x = audio_seconds / max(t_up, t_down)
-    bound_x = min(link_bound_x, x_dc)
-    if x_e2e > bound_x:
-        log(f"(e2e {x_e2e:.0f}x exceeds the serial-link ceiling {bound_x:.0f}x "
-            f"— upload/download overlap is doing its job; clamped to 1)")
-    overlap_eff = min(1.0, x_e2e / bound_x)
-    pcie = 10e9  # bytes/s per direction, conservative Gen4 x8
-    pcie_bound_x = audio_seconds / (bytes_in / pcie + bytes_out / pcie)
-    log(
-        f"link-bound ceiling: serial {link_bound_x:.0f}x / duplex "
-        f"{duplex_bound_x:.0f}x; overlap efficiency {overlap_eff:.2f}; "
-        f"PCIe(10GB/s) projection: {min(pcie_bound_x, x_dc):.0f}x realtime"
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "decode_x_realtime_44k16_stereo_device",
-                "value": round(x_dc, 1),
-                "unit": "x_realtime",
-                "vs_baseline": round(x_dc / 2630.0, 3),
-                # Legacy round-1 metric name, kept for round-over-round
-                # comparability (it was end-to-end throughput).
-                "decode_x_realtime_44k16_stereo": round(x_e2e, 1),
-                "device_resident_x_realtime": round(x_dr, 1),
-                "e2e_x_realtime": round(x_e2e, 1),
-                "e2e_ms_median": round(per_batch_e2e * 1e3, 1),
-                "e2e_ms_stddev": round(e2e_sd * 1e3, 1),
-                "e2e_n": e2e_n,
-                "dr_ms_median": round(per_batch_dr * 1e3, 1),
-                "dr_ms_stddev": round(dr_sd * 1e3, 1),
-                "dc_ms_median": round(per_batch_dc * 1e3, 2),
-                "dc_ms_stddev": round(dc_sd * 1e3, 2),
-                "link_h2d_MBps": round(h2d, 1),
-                "link_d2h_MBps": round(d2h, 1),
-                "link_rtt_ms": round(rtt * 1e3, 2),
-                "bytes_in_MB": round(bytes_in / 1e6, 1),
-                "bytes_out_MB": round(bytes_out / 1e6, 1),
-                "link_bound_x_realtime": round(link_bound_x, 1),
-                "duplex_bound_x_realtime": round(duplex_bound_x, 1),
-                "overlap_efficiency": round(overlap_eff, 3),
-                "latency_warm_b32_ms": round(lat_b32 * 1e3, 1),
-                "latency_budget_ms": round(lat_budget * 1e3, 1),
-                "latency_gate_ok": lat_ok,
-                "pcie_projected_x_realtime": round(min(pcie_bound_x, x_dc), 1),
-                "noise_device_x_realtime": round(x_noise, 1),
-                "hires_device_x_realtime": round(x_hires, 1),
-                "encode_device_x_realtime": round(x_enc, 1),
-                "encode_host_x_realtime": round(x_enc_host, 1),
-                "batch": BATCH,
-            }
-        )
-    )
+    # Final JSON line: the headline payload updated with the encode rows.
+    result["encode_device_x_realtime"] = round(x_enc, 1)
+    result["encode_host_x_realtime"] = round(x_enc_host, 1)
+    result["encode_rows_pending"] = False
+    print(json.dumps(result), flush=True)
     return 0
 
 
