@@ -115,7 +115,64 @@ def main() -> int:
             "results": results,
         }, indent=1) + "\n")
 
-    def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None, frame=None):
+    def dsefil_packets(cfg, spec, pcm, mid_dse=False):
+        """Per-packet encode with FIL+DSE skip elements injected before the
+        channel elements (and, with mid_dse, a DSE between element slots) —
+        the layouts weak in the hardware sweep: the Mosaic element kernel's
+        skip-slot arms (decoder.go:538-574 semantics) at production F."""
+        from saprobe_alac_tpu.codec.element import CHANNEL_LAYOUT_OFFSETS
+        from saprobe_alac_tpu.encoder.bitwriter import BitWriter
+        from saprobe_alac_tpu.encoder.encode import (
+            _append, _element_layout, _encode_cpe, _encode_sce)
+
+        Fc = cfg.frame_length
+        offsets = CHANNEL_LAYOUT_OFFSETS[cfg.num_channels - 1]
+        pkts = []
+        for i in range(0, pcm.shape[0], Fc):
+            block = pcm[i : i + Fc]
+            ns = block.shape[0]
+            partial = ns != Fc
+            w = BitWriter()
+            # FIL, count=3 payload bytes — ends bit-unaligned (7+24 bits).
+            w.write(6, 3)
+            w.write(3, 4)
+            for b in (0x11, 0x22, 0x33):
+                w.write(b, 8)
+            # DSE with byte-align flag + 2 data bytes.
+            w.write(4, 3)
+            w.write(0, 4)
+            w.write(1, 1)
+            w.write(2, 8)
+            w.byte_align()
+            w.write(0xDE, 8)
+            w.write(0xAD, 8)
+            chan_idx = 0
+            for ei, width in enumerate(_element_layout(cfg.num_channels)):
+                if width == 1:
+                    elem = _encode_sce(cfg, spec, spec.channel, 0,
+                                       block[:, offsets[chan_idx]], partial, ns)
+                    chan_idx += 1
+                else:
+                    elem = _encode_cpe(cfg, spec, spec.channel,
+                                       block[:, offsets[chan_idx]],
+                                       block[:, offsets[chan_idx] + 1],
+                                       partial, ns)
+                    chan_idx += 2
+                _append(w, elem)
+                if mid_dse and ei == 0:
+                    # Unaligned mid-stream DSE between element slots.
+                    w.write(4, 3)
+                    w.write(2, 4)
+                    w.write(0, 1)
+                    w.write(1, 8)
+                    w.write(0x5A, 8)
+            w.write(7, 3)
+            w.byte_align()
+            pkts.append(w.getvalue())
+        return pkts
+
+    def run(name, depth, ch, spec, B=B_MAIN, pcm=None, seed=None, frame=None,
+            pkts_fn=None):
         Fc = F if frame is None else frame
         if (name, depth, ch, B, Fc) in done:
             return
@@ -126,7 +183,7 @@ def main() -> int:
         key = (depth, ch, Fc)
         if key not in decs:
             decs[key] = JaxBatchDecoder(cfg)
-        pkts = encode_packets(cfg, spec, pcm)
+        pkts = pkts_fn(cfg, spec, pcm) if pkts_fn else encode_packets(cfg, spec, pcm)
         want = [oracle(cfg, p)[0] for p in pkts]
         batch = [pkts[i % len(pkts)] for i in range(B)]
         tc = time.time()
@@ -223,6 +280,19 @@ def main() -> int:
         ("lb512", 16, 2, EncoderSpec(), {"B": 512}),
         ("std", 20, 2, EncoderSpec(), {}),
         ("esc", 20, 2, EncoderSpec(escape=True), {}),
+        # --- round-5 additions: skip-element, multislot and predictor/mix
+        # semantics at production frame length (the F=256 matrix covered
+        # these variants but no F=4096 row carried a DSE or FIL before) ---
+        ("dsefil", 16, 2, EncoderSpec(), {"pkts_fn": dsefil_packets}),
+        ("dsefil", 24, 2, EncoderSpec(bytes_shifted=1),
+         {"pkts_fn": dsefil_packets}),  # skip slots + the shift-region reader
+        ("dse_mid", 16, 3, EncoderSpec(),
+         {"pkts_fn": lambda c, s, p: dsefil_packets(c, s, p, mid_dse=True)}),
+        ("std", 16, 3, EncoderSpec(), {}),   # SCE+CPE multislot, no skips
+        ("mix0", 16, 2, EncoderSpec(mix_res=0), {}),
+        ("mixneg", 16, 2, EncoderSpec(mix_res=-3, mix_bits=2), {}),
+        ("o31", 16, 2, EncoderSpec(channel=ChannelSpec(order=31)), {}),
+        ("o0", 16, 2, EncoderSpec(channel=ChannelSpec(order=0)), {}),
     ]
     for name, depth, ch, spec, kw in f4_rows:
         run(name, depth, ch, spec, frame=F4, **kw)

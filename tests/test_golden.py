@@ -401,6 +401,49 @@ def test_golden_8ch_layout_all_impls():
     assert JaxBatchDecoder(cfg).decode_packets([PKT_8CH_LAYOUT]) == [PCM_8CH_LAYOUT]
 
 
+# ---------------------------------------------------------------------------
+# Vector 15 — multi-element packet: FIL + DSE + SCE in one stream.
+#
+# The skip elements (decoder.go:538-574) share the packet with a real SCE;
+# a decoder that mis-sizes either skip desyncs the SCE that follows.
+#   FIL (tag 110): count(4)=1 -> skip 1 fill byte (0xAA).  Ends at bit 15 —
+#     deliberately NOT byte-aligned, so the DSE's align flag below has work.
+#   DSE (tag 100): instance(4)=0, dataByteAlignFlag=1, count(8)=2;
+#     ByteAlign consumes the one pad bit (bit 31 -> 32), then 2 data bytes
+#     (0xDE 0xAD) are skipped.  Ends at bit 48 = byte 6, so the SCE that
+#     follows is byte-for-byte vector 2 (order0-zerorun) and must produce
+#     its exact PCM.
+PKT_MULTI_ELEMENT = bytes.fromhex("c3550204dead") + PKT_ORDER0_ZERORUN
+PCM_MULTI_ELEMENT = PCM_ORDER0_ZERORUN
+
+# ---------------------------------------------------------------------------
+# Vector 16 — multi-packet stream inside a literal CAF container.
+#
+# The container path has its own failure modes (chunk walk, VLQ packet
+# table, data-chunk edit count) that per-packet vectors never touch.  This
+# blob is a complete hand-assembled CAF file (Apple CAF spec layout; every
+# field literal):
+#   'caff' v1; 'desc' (rate f64 44100, fmt 'alac', fpp 4096, 1 ch);
+#   'kuki' = 24-byte ALACSpecificConfig (4096/16-bit/pb40/mb10/kb14/1ch/
+#   maxRun 255/44100); 'pakt' numPackets=3 validFrames=16 + VLQ sizes
+#   [15,16,16]; 'data' edit-count u32=0 + the three packet payloads:
+#   vector 2 (order0-zerorun, ns=8) + vector 5 (lpc-order1, ns=4) +
+#   vector 1 (escape-sce, ns=4).
+# Expected stream PCM = the three vectors' PCM concatenated (16 samples).
+CAF_GOLDEN = bytes.fromhex(
+    "636166660001000064657363000000000000002040e58880000000006"
+    "16c616300000000000000000000100000000001000000006b756b6900"
+    "00000000000018000010000010280a0e0100ff0000000000000000000"
+    "0ac4470616b74000000000000001b00000000000000030000000000000"
+    "01000000000000000000f1010646174610000000000000033000000000"
+    "000100000001000000101a0f5fb800000100000000800000302000"
+    "5fb6ee0000012000000080003fffeffff0001c0"
+)
+PCM_STREAM_GOLDEN = (
+    PCM_ORDER0_ZERORUN + PCM_LPC_ORDER1 + PCM_ESCAPE_SCE
+)
+
+
 GOLDEN_ERRORS = [
     pytest.param(
         dict(depth=16, channels=1, kb=0), PKT_ERR_KB0_RUN, id="kb0-zerorun-overrun"
@@ -430,6 +473,51 @@ def test_golden_error_vectors_all_impls(cfgkw, packet):
         assert errs[0] != 0
     with pytest.raises(DecodeError):
         JaxBatchDecoder(cfg).decode_packets([packet])
+
+
+def test_golden_multi_element_all_impls():
+    """FIL + DSE + SCE sharing one packet (vector 15)."""
+    cfg = make_config(depth=16, channels=1)
+    got, _ = oracle(cfg, PKT_MULTI_ELEMENT)
+    assert got == PCM_MULTI_ELEMENT
+    if native.available():
+        assert native.decode_packet(cfg, PKT_MULTI_ELEMENT) == PCM_MULTI_ELEMENT
+    assert JaxBatchDecoder(cfg).decode_packets([PKT_MULTI_ELEMENT]) == [
+        PCM_MULTI_ELEMENT
+    ]
+
+
+def test_golden_caf_container_stream():
+    """Literal CAF file -> literal stream PCM, through the full container
+    path (sniff, chunk walk, VLQ packet table) on every backend; plus
+    seek back into the middle packet (vector 16)."""
+    import io
+
+    from saprobe_alac_tpu.decode import Decoder
+
+    for backend in ("scalar", "native", "jax"):
+        if backend == "native" and not native.available():
+            continue
+        dec = Decoder(io.BytesIO(CAF_GOLDEN), backend=backend, batch_size=2)
+        fmt = dec.format()
+        assert (fmt.sample_rate, fmt.bit_depth, fmt.channels) == (44100, 16, 1)
+        assert dec.read() == PCM_STREAM_GOLDEN
+        # Packet 2 starts at sample 8 (packet 1 is a partial frame of 8
+        # samples but seek math is frame_length-aligned: the table index for
+        # t just past 0 is still 0) — verify a mid-stream reposition.
+        dec.seek(0.0)
+        assert dec.read(4) == PCM_STREAM_GOLDEN[:4]
+        assert dec.read() == PCM_STREAM_GOLDEN[4:]
+
+
+def test_golden_multi_packet_stream_batch():
+    """The three stream packets as one device batch (vector 16's payload),
+    preserving per-packet partial-frame truncation."""
+    cfg = make_config(depth=16, channels=1)
+    got = JaxBatchDecoder(cfg).decode_packets(
+        [PKT_ORDER0_ZERORUN, PKT_LPC_ORDER1, PKT_ESCAPE_SCE]
+    )
+    assert b"".join(got) == PCM_STREAM_GOLDEN
 
 
 def test_golden_device_batch():
