@@ -122,12 +122,15 @@ def _decode_batch_tight(
     Wb = w_bucket
     wcount = jax.lax.shift_right_logical(size_bits + 31, 5)
     col = jnp.arange(Wb, dtype=jnp.int32)[None, :]
-    idx = offsets[:, None] + col
-    words = jnp.where(
-        col < wcount[:, None],
-        jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1), axis=0),
-        0,
+    # Row materialization via vmapped dynamic_slice, NOT an elementwise
+    # gather: XLA lowers the slice batch to DMA-granularity copies where the
+    # (B, Wb)-index gather runs on the scalar core (~2.9 s vs ~39 ms for a
+    # 10k x 8192 batch on v5e — the whole decode is ~41 ms).  _stage_tight
+    # guarantees offsets[i] + Wb <= len(flat), so no slice is clamped.
+    words = jax.vmap(lambda o: jax.lax.dynamic_slice(flat, (o,), (Wb,)))(
+        offsets
     )
+    words = jnp.where(col < wcount[:, None], words, 0)
     return _decode_core(
         words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         walk_impl, lpc_impl, taps,
@@ -281,6 +284,11 @@ class JaxBatchDecoder:
         offs = np.zeros(B, np.int64)
         np.cumsum(wc[:-1], out=offs[1:] if B > 1 else offs[:0])
         total = int(offs[-1] + wc[-1]) + GUARD_WORDS if B else GUARD_WORDS
+        # The device materializes rows with dynamic_slice(flat, offsets[i],
+        # Wb): every slice must end inside flat or XLA clamps the start and
+        # reads the wrong words, so size flat past the LAST packet's slice.
+        Wb = _bucket(int(wc.max()) + GUARD_WORDS if B else 16, floor=16)
+        total = max(total, (int(offs[-1]) + Wb) if B else Wb)
         flat = np.zeros(_bucket(total, floor=1024), np.int32)
         fb = flat.view(np.uint8)
         for i, p in enumerate(packets):
@@ -291,7 +299,6 @@ class JaxBatchDecoder:
         offsets[:B] = offs
         sizes = np.zeros(Bb, np.int32)
         sizes[:B] = lens * 8
-        Wb = _bucket(int(wc.max()) + GUARD_WORDS if B else 16, floor=16)
         return flat, offsets, sizes, Wb
 
     def decode_async(self, packets: Sequence[bytes], taps: int = 9):
