@@ -20,6 +20,7 @@ Python encoder given the same parameters (kb=0 streams fall back to host).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,20 @@ import numpy as np
 from ..codec.element import CHANNEL_LAYOUT_OFFSETS
 from ..config import PacketConfig
 from .jaxint import I32, U32, clz, lg3a, s, sext, shl, sshr, u, ushr
+
+#: Entropy-encode implementation: "pallas" (dense-consumption Mosaic kernel,
+#: ops/encode_kernel.py), "xla" (lockstep scatter loop below),
+#: "pallas_interpret" (kernel in interpreter mode, for CPU tests), or
+#: "auto" (pallas on TPU backends, xla elsewhere).
+_IMPL = os.environ.get("SAPROBE_ENCODE_IMPL", "auto")
+
+
+def _kernel_impl(impl: str) -> bool:
+    if impl in ("pallas", "pallas_interpret"):
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 def _emit(words, bitpos, value, width):
     """Append ``width`` (0..32) bits of ``value`` at per-lane ``bitpos``.
@@ -224,6 +239,59 @@ def _entropy_encode(words, bitpos, res, zrun, active0, pb_local, max_size, ns, m
     return words, bitpos
 
 
+def _entropy_body(res, ns, pb_local, cb, mb, kb, F, Wch, enc_impl):
+    """Entropy-encode one channel for all lanes into an isolated buffer at
+    bit 0.  Returns (buf (B, Wch) int32 BE, bit_len (B,), overflow (B,)).
+
+    Dispatches to the dense-consumption Pallas kernel (ops/encode_kernel.py)
+    when selected and in range; the XLA lockstep loop otherwise.  Overflow
+    is always all-False on the XLA path."""
+    B = res.shape[0]
+    zrun = _zero_run_table(res, ns)
+    from .encode_kernel import MAX_KB, dense_encode_pallas
+
+    if _kernel_impl(enc_impl) and 0 < kb <= MAX_KB:
+        n = jnp.where(res >= 0, 2 * res, -2 * res - 1)
+        zr1 = jnp.concatenate(
+            [jnp.minimum(zrun[:, 1:], 65535), jnp.zeros((B, 1), I32)], axis=1
+        )
+        LB = (
+            1024 if B % 1024 == 0
+            else 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+        )
+        B_pad = ((B + LB - 1) // LB) * LB
+        nT, zT = n.T, zr1.T
+        act = jnp.ones(B, bool)
+        cbv = jnp.full(B, cb, I32)
+        nsv = ns
+        mbv = jnp.full(B, mb, I32)
+        if B_pad != B:
+            padc = jnp.zeros((F if nT.shape[0] == F else nT.shape[0], B_pad - B), I32)
+            nT = jnp.concatenate([nT, padc], axis=1)
+            zT = jnp.concatenate([zT, padc], axis=1)
+            padl = jnp.zeros(B_pad - B, I32)
+            act = jnp.concatenate([act, padl.astype(bool)])
+            pb_local = jnp.concatenate([pb_local, padl])
+            cbv = jnp.concatenate([cbv, padl])
+            nsv = jnp.concatenate([nsv, padl])
+            mbv = jnp.concatenate([mbv, padl])
+        buf, blen, ovf = dense_encode_pallas(
+            nT, zT, act, pb_local, cbv, nsv, mbv,
+            kb=kb, F=F, W_out=Wch, LB=LB,
+            interpret=(enc_impl == "pallas_interpret"),
+        )
+        w = buf.shape[1]
+        if w < Wch:
+            buf = jnp.pad(buf, ((0, 0), (0, Wch - w)))
+        return buf[:B, :Wch], blen[:B], ovf[:B] != 0
+    buf = jnp.zeros((B, Wch), I32)
+    buf, blen = _entropy_encode(
+        buf, jnp.zeros(B, I32), res, zrun, jnp.ones(B, bool), pb_local,
+        jnp.full(B, cb, I32), ns, mb, kb,
+    )
+    return buf, blen, jnp.zeros(B, bool)
+
+
 def _emit_many(words, base, values, width):
     """Append K fixed-width fields per lane starting at ``base``.
 
@@ -261,7 +329,7 @@ _LFE_BITSTREAM_IDX = {6: 5, 7: 6, 8: 7}
     static_argnames=(
         "frame_length", "num_channels", "depth", "pb", "mb", "kb",
         "elem_specs", "mix_bits_s", "bytes_shifted",
-        "use_lfe_tag", "force_escape", "auto_escape",
+        "use_lfe_tag", "force_escape", "auto_escape", "enc_impl",
     ),
 )
 def encode_walk(
@@ -272,6 +340,7 @@ def encode_walk(
     frame_length, num_channels, depth, pb, mb, kb,
     elem_specs,  # static: per-element (order, den_shift, pb_candidates, mode, fit)
     mix_bits_s, bytes_shifted, use_lfe_tag, force_escape, auto_escape,
+    enc_impl="xla",
 ):
     """Device-side packet assembly.  Returns (words (B, W) int32 BE, bit_len (B,)).
 
@@ -364,6 +433,7 @@ def encode_walk(
     W = (sum(b[3] for b in _elem_bounds) + 16) // 32 + 4
     words = jnp.zeros((B, W), I32)
     bitpos = jnp.zeros(B, I32)
+    ovf_any = jnp.zeros(B, bool)
     partial_f = ns != F
 
     def emit_hdr(buf, pos, tag, bs_field, escape_flag):
@@ -467,15 +537,13 @@ def encode_walk(
             Wch = ((F * bps_e + 256) // 32) + 4
             bodies = []
             for res in res_list:
-                zrun = _zero_run_table(res, ns)
                 cbufs, clens = [], []
                 for pbf in pb_cands:
-                    cbuf = jnp.zeros((B, Wch), I32)
-                    cbuf, clen = _entropy_encode(
-                        cbuf, jnp.zeros(B, I32), res, zrun, jnp.ones(B, bool),
-                        jnp.full(B, (pb * pbf) // 4, I32),
-                        jnp.full(B, cb, I32), ns, mb, kb,
+                    cbuf, clen, ovf = _entropy_body(
+                        res, ns, jnp.full(B, (pb * pbf) // 4, I32), cb, mb,
+                        kb, F, Wch, enc_impl,
                     )
+                    ovf_any = ovf_any | ovf
                     cbufs.append(cbuf)
                     clens.append(clen)
                 lens = jnp.stack(clens, axis=1)  # (B, K)
@@ -524,6 +592,18 @@ def encode_walk(
             for buf, blen, _ in bodies:
                 sc, _ = _emit_many(sc, sp, buf, 32)
                 sp = sp + blen
+        elif _kernel_impl(enc_impl):
+            # Kernel path: encode at bit 0 into an isolated body, then blit
+            # (zero tail words add nothing — same trick as the element blit).
+            Wch1 = ((F * bps_e + 256) // 32) + 4
+            pb_local = jnp.full(B, (pb * pb_cands[0]) // 4, I32)
+            for res in res_list:
+                buf, blen, ovf = _entropy_body(
+                    res, ns, pb_local, cb, mb, kb, F, Wch1, enc_impl,
+                )
+                ovf_any = ovf_any | ovf
+                sc, _ = _emit_many(sc, sp, buf, 32)
+                sp = sp + blen
         else:
             pb_local = jnp.full(B, (pb * pb_cands[0]) // 4, I32)
             for res in res_list:
@@ -570,7 +650,7 @@ def encode_walk(
     words, bitpos = _emit(words, bitpos, jnp.full(B, 7, I32), jnp.full(B, 3, I32))
     pad = (8 - (bitpos & 7)) & 7
     words, bitpos = _emit(words, bitpos, jnp.zeros(B, I32), pad)
-    return words, bitpos
+    return words, bitpos, ovf_any
 
 
 def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
@@ -632,7 +712,7 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         coefs_arr[ei, : len(cvals)] = cvals
         chan += w
 
-    words, bits = encode_walk(
+    words, bits, ovf = encode_walk(
         jnp.asarray(planes),
         jnp.asarray(ns),
         jnp.full(Bb, spec.mix_res, jnp.int32),
@@ -640,14 +720,21 @@ def encode_packets_device(config: PacketConfig, spec, pcm_list) -> list[bytes]:
         F, C, config.bit_depth, config.pb, config.mb, config.kb,
         elem_specs, max(spec.mix_bits, 0), spec.bytes_shifted,
         spec.use_lfe_tag, bool(spec.escape), bool(spec.auto_escape),
+        enc_impl=_IMPL,
     )
     words = np.asarray(words)
     bits = np.asarray(bits)
+    ovf = np.asarray(ovf)
 
     out = []
     be = words.astype(">i4").tobytes()
     row_bytes = words.shape[1] * 4
     for i in range(B):
+        if ovf[i]:
+            # Kernel overflow (pathological cross-lane output divergence):
+            # this lane's stream is unspecified — re-encode on the host.
+            out.append(host_encode(config, spec, pcm_list[i]))
+            continue
         nbytes = (int(bits[i]) + 7) // 8
         out.append(be[i * row_bytes : i * row_bytes + nbytes])
     return out
