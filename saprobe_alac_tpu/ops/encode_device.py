@@ -155,6 +155,78 @@ def _lpc_forward_batch(x, order, den, cb, ns, coefs, frame_length):
     return resP
 
 
+def _lpc_forward(data, order, den_shift, cb, ns, coefs, F, mode, enc_impl):
+    """Forward LPC residuals for one channel, mode post-pass included.
+
+    Dispatches to the forward-direction Pallas kernel (ops/lpc_kernel.py,
+    forward=True) for FIR orders on TPU — the XLA fori_loop pays per-step
+    fusion overhead F times (~57 ms/channel at B=1024 F=4096 on v5e,
+    hack/enc_trace.py) where the kernel streams rows through the same
+    staging DMA as decode.  Orders 0/31 have no serial recurrence and stay
+    on the (cheap, loop-free) XLA path.
+    """
+    from .lpc import _INT32_ORDERS
+
+    B = data.shape[0]
+    if _kernel_impl(enc_impl) and 1 <= order <= 30:
+        from .lpc_kernel import lpc_fir_pallas
+
+        F_pad = ((F + 15) // 16) * 16
+        LB = (
+            1024 if B % 1024 == 0
+            else 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+        )
+        L_pad = ((B + LB - 1) // LB) * LB
+        xT = jnp.zeros((F_pad, L_pad), I32)
+        xT = jax.lax.dynamic_update_slice(xT, data.T, (0, 0))
+
+        def padv(v):
+            return (
+                v if L_pad == B
+                else jnp.concatenate([v, jnp.zeros(L_pad - B, v.dtype)])
+            )
+
+        taps = 9 if order <= 8 else 32
+        coefs_t = coefs.T[:taps]  # (taps, B)
+        if L_pad != B:
+            coefs_t = jnp.concatenate(
+                [coefs_t, jnp.zeros((taps, L_pad - B), I32)], axis=1
+            )
+        ones = jnp.ones(L_pad, I32)
+        res_t = lpc_fir_pallas(
+            xT,
+            padv(jnp.ones(B, I32)),  # pad lanes: class 0 bypass
+            ones * order,
+            ones * den_shift,
+            ones * cb,
+            padv(ns),
+            ones * int(order not in _INT32_ORDERS),
+            ones * int(mode != 0),
+            coefs_t,
+            F=F, LB=LB, taps=taps,
+            interpret=(enc_impl == "pallas_interpret"),
+            forward=True,
+        )
+        return res_t[:F, :B].T
+
+    res = _lpc_forward_batch(
+        data,
+        jnp.full(B, order, I32),
+        jnp.full(B, den_shift, I32),
+        jnp.full(B, cb, I32),
+        ns,
+        coefs,
+        F,
+    )
+    if mode != 0:
+        # Two-stage: the decoder un-deltas first (decoder.go:307-309),
+        # so the stream carries delta'd residuals.
+        rm1 = jnp.concatenate([res[:, :1], res[:, :-1]], axis=1)
+        d = sext(res - rm1, jnp.full(B, cb, I32)[:, None])
+        res = jnp.where(jnp.arange(F, dtype=I32)[None, :] == 0, res, d)
+    return res
+
+
 def _entropy_encode(words, bitpos, res, zrun, active0, pb_local, max_size, ns, mb, kb):
     """Lockstep Golomb-Rice encode of one channel for all lanes."""
     B = bitpos.shape[0]
@@ -292,26 +364,82 @@ def _entropy_body(res, ns, pb_local, cb, mb, kb, F, Wch, enc_impl):
     return buf, blen, jnp.zeros(B, bool)
 
 
+def _pack_fields(values, width):
+    """Dense MSB-first pack of K ``width``-bit fields at bit 0.
+
+    values: (B, K) int32; width: static int (1..32).  Returns (B, Wd) int32
+    big-endian words, Wd = ceil(K*width/32).  The bit layout is a FIXED
+    pattern (field k occupies bits [k*w, (k+1)*w)), so each output word is
+    the OR of at most floor(32/w)+1 statically-indexed fields — constant-
+    index gathers plus elementwise shifts, no scatter (XLA scatter-add
+    serializes on the TPU scalar core; this was the dominant encode cost).
+    """
+    B, K = values.shape
+    vmask = (1 << width) - 1 if width < 32 else -1
+    v = values & vmask
+    Wd = (K * width + 31) // 32
+    m = 32 // width + 1
+    j = np.arange(Wd, dtype=np.int32)
+    kf = (32 * j) // width  # first field covering bit 32j
+    word = jnp.zeros((B, Wd), I32)
+    for i in range(m + 1):
+        k = kf + i
+        off = k * width - 32 * j  # field MSB position within word j
+        live = (k < K) & (off < 32) & (off > -width)
+        if not live.any():
+            continue
+        kc = np.minimum(np.where(live, k, 0), K - 1)
+        vk = jnp.take(v, jnp.asarray(kc), axis=1)  # constant-index gather
+        right = 32 - off - width  # distance from word LSB (in [-31, 31])
+        rs = jnp.asarray(np.clip(right, 0, 31), I32)[None, :]
+        ls = jnp.asarray(np.clip(-right, 0, 31), I32)[None, :]
+        piece = jnp.where(jnp.asarray(right >= 0)[None, :], shl(vk, rs), ushr(vk, ls))
+        word = word + jnp.where(jnp.asarray(live)[None, :], piece, 0)
+    return word
+
+
+def _blit_bits(words, base, src):
+    """OR ``src`` (B, Ws) int32 BE words into ``words`` at per-lane bit
+    offset ``base``; returns the updated words.
+
+    Gather restructure of the width-32 _emit_many blit: output word j
+    receives src[j - q] >> r and src[j - q - 1] << (32 - r) with
+    q = base >> 5, r = base & 31 — two per-lane gathers along the minor
+    axis plus elementwise shifts, instead of a (B, Ws) scatter-add.
+    Bits landing beyond the destination are dropped (the scatter version
+    clipped them onto the last words; all call sites only ever blit zero
+    tails there, so both are no-ops).  Appended bits are new (dst region
+    is zero), so add == or, as everywhere in this module.
+    """
+    B, W = words.shape
+    Ws = src.shape[1]
+    q = sshr(base, 5)[:, None]
+    r = (base & 31)[:, None]
+    j = jnp.arange(W, dtype=I32)[None, :]
+    idx0 = j - q
+    idx1 = idx0 - 1
+    g0 = jnp.take_along_axis(src, jnp.clip(idx0, 0, Ws - 1), axis=1)
+    g0 = jnp.where((idx0 >= 0) & (idx0 < Ws), g0, 0)
+    g1 = jnp.take_along_axis(src, jnp.clip(idx1, 0, Ws - 1), axis=1)
+    g1 = jnp.where((idx1 >= 0) & (idx1 < Ws), g1, 0)
+    lo = ushr(g0, r)
+    hi = jnp.where(r == 0, 0, shl(g1, (32 - r) & 31))
+    return words + lo + hi
+
+
 def _emit_many(words, base, values, width):
     """Append K fixed-width fields per lane starting at ``base``.
 
-    values: (B, K) int32; width: scalar int (1..32).  Fully parallel
-    scatter-add (each field straddles <= 2 words).
+    values: (B, K) int32; width: static int (1..32).  Packs the fields into
+    a dense buffer at bit 0 (fixed pattern, no scatter) and blits it at the
+    per-lane offset with two gathers — see _pack_fields/_blit_bits.
     """
-    B, K = values.shape
-    W = words.shape[1]
-    pos = base[:, None] + jnp.arange(K, dtype=I32)[None, :] * width
-    widx = jnp.clip(sshr(pos, 5), 0, W - 2)
-    sh = pos & 31
-    vmask = (1 << width) - 1 if width < 32 else -1
-    v = values & vmask
-    right = 64 - sh - width
-    hi = jnp.where(right >= 32, shl(v, right - 32), ushr(v, 32 - right))
-    lo = jnp.where(right >= 32, 0, shl(v, right))
-    lanes = jnp.arange(B)[:, None]
-    words = words.at[lanes, widx].add(hi)
-    words = words.at[lanes, widx + 1].add(lo)
-    return words, base + K * width
+    if width == 32:
+        packed = values
+    else:
+        packed = _pack_fields(values, width)
+    K = values.shape[1]
+    return _blit_bits(words, base, packed), base + K * width
 
 
 def _element_layout(num_channels: int):
@@ -507,21 +635,9 @@ def encode_walk(
         res_list = []
         bad = jnp.zeros(B, bool)
         for data, ccoef in zip(ch_data, ch_coefs):
-            res = _lpc_forward_batch(
-                data,
-                jnp.full(B, order, I32),
-                jnp.full(B, den_shift, I32),
-                jnp.full(B, cb, I32),
-                ns,
-                ccoef,
-                F,
+            res = _lpc_forward(
+                data, order, den_shift, cb, ns, ccoef, F, mode, enc_impl
             )
-            if mode != 0:
-                # Two-stage: the decoder un-deltas first (decoder.go:307-309),
-                # so the stream carries delta'd residuals.
-                rm1 = jnp.concatenate([res[:, :1], res[:, :-1]], axis=1)
-                d = sext(res - rm1, jnp.full(B, cb, I32)[:, None])
-                res = jnp.where(jnp.arange(F, dtype=I32)[None, :] == 0, res, d)
             res_list.append(res)
             if cb >= 32:
                 idxF = jnp.arange(F, dtype=I32)[None, :]

@@ -116,6 +116,7 @@ def _lpc_kernel(
     interpret: bool,
     src_nb: int | None = None,
     src_fpad: int | None = None,
+    forward: bool = False,
 ):
     SL = LB // 128
     pid = pl.program_id(0)  # at body top: DMA index expressions need it
@@ -152,7 +153,16 @@ def _lpc_kernel(
     NCH = F // _CHUNK  # F is a multiple of _CHUNK (F_pad)
 
     def row_step(t, delta_raw, hist_arr, coefs_arr, prev):
-        """One sample: returns (out_row, hist', coefs', prev')."""
+        """One sample: returns (out_row, hist', coefs', prev').
+
+        forward=False (decode): ``delta_raw`` is the residual row; out is
+        the reconstruction, which feeds the history.  forward=True (encode,
+        ops/encode_device.py): ``delta_raw`` is the SIGNAL row x[t]; the
+        history is past x (known input, so the only loop-carried recurrence
+        is the coefficient adaptation), out is the residual, and ``prev``
+        carries the mode>0 two-stage delta POST-pass instead of the decode
+        pre-pass.  Prediction and adaptation math are shared — encode is
+        the same recurrence solved for delta instead of out."""
         hist = [hist_arr[k] for k in range(taps)]
         coefs = [coefs_arr[k] for k in range(taps)]
         # Scalar-vs-vector compares make Mosaic materialize scalar i1
@@ -160,14 +170,16 @@ def _lpc_kernel(
         # sample index as a vector.
         tv = jnp.zeros((SL, 128), I32) + t
 
-        # mode > 0 two-stage delta pre-pass (decoder.go:307-309) as a carried
-        # prefix: d[0] = res[0] (raw, predictor.go:53), d[t] = sext(d[t-1] +
-        # res[t]) — equal to the sexted wrapping cumsum (sext is a ring hom
-        # mod 2^cb), so this matches ops/lpc.py's delta_decode bit for bit
-        # while costing ~3 vector ops instead of a gated (F, L) XLA pass.
-        d0 = _sext_v(prev + delta_raw, cb)
-        delta = jnp.where(is_mode & (tv >= 1), d0, delta_raw)
-        prev = jnp.where(is_mode, delta, prev)
+        if not forward:
+            # mode > 0 two-stage delta pre-pass (decoder.go:307-309) as a
+            # carried prefix: d[0] = res[0] (raw, predictor.go:53), d[t] =
+            # sext(d[t-1] + res[t]) — equal to the sexted wrapping cumsum
+            # (sext is a ring hom mod 2^cb), so this matches ops/lpc.py's
+            # delta_decode bit for bit while costing ~3 vector ops instead
+            # of a gated (F, L) XLA pass.
+            d0 = _sext_v(prev + delta_raw, cb)
+            delta = jnp.where(is_mode & (tv >= 1), d0, delta_raw)
+            prev = jnp.where(is_mode, delta, prev)
 
         active = (is_fir >= 1) & (tv < ns) & (tv >= 1)
 
@@ -184,10 +196,23 @@ def _lpc_kernel(
         sum1 = _sshr_v(acc + den_half, den)
 
         warm = tv <= order
-        fir_val = _sext_v(delta + top + sum1, cb)
-        warm_val = _sext_v(delta + hist[0], cb)
-        val = jnp.where(warm, warm_val, fir_val)
-        out_row = jnp.where(active, val, delta)
+        if forward:
+            xt = delta_raw
+            fir_delta = _sext_v(xt - top - sum1, cb)
+            warm_delta = _sext_v(xt - hist[0], cb)
+            delta = jnp.where(warm, warm_delta, fir_delta)
+            res_row = jnp.where(active, delta, xt)
+            # mode > 0 two-stage delta POST-pass: the stream carries
+            # delta'd residuals (the decoder un-deltas first).
+            out_row = jnp.where(
+                is_mode & (tv >= 1), _sext_v(res_row - prev, cb), res_row
+            )
+            prev = jnp.where(is_mode, res_row, prev)
+        else:
+            fir_val = _sext_v(delta + top + sum1, cb)
+            warm_val = _sext_v(delta + hist[0], cb)
+            val = jnp.where(warm, warm_val, fir_val)
+            out_row = jnp.where(active, val, delta)
 
         # Coefficient adaptation (predictor.go:660-682), predicated walk.
         # Class-2 lanes (order-31 delta, folded in as a fixed order-1 /
@@ -218,7 +243,8 @@ def _lpc_kernel(
             newc = jnp.where(wrap16 == 1, _sext16(newc), newc)
             newcoefs.append(jnp.where(adapt, newc, coefs[k]))
 
-        hist_arr = jnp.concatenate([out_row[None], hist_arr[: taps - 1]], axis=0)
+        fed = delta_raw if forward else out_row  # encode history is the input
+        hist_arr = jnp.concatenate([fed[None], hist_arr[: taps - 1]], axis=0)
         return out_row, hist_arr, jnp.stack(newcoefs), prev
 
     if src_nb is None:
@@ -325,11 +351,12 @@ def _lpc_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("F", "LB", "taps", "interpret", "src_nb")
+    jax.jit,
+    static_argnames=("F", "LB", "taps", "interpret", "src_nb", "forward"),
 )
 def lpc_fir_pallas(
     res_t, is_fir, order, den, cb, ns, wrap16, mode, coefs_t,
-    *, F, LB=512, taps=_TAPS, interpret=False, src_nb=None,
+    *, F, LB=512, taps=_TAPS, interpret=False, src_nb=None, forward=False,
 ):
     """FIR reconstruction over transposed (F_pad, L) residuals.
 
@@ -365,7 +392,7 @@ def lpc_fir_pallas(
     assert taps in (9, _TAPS) and coefs_t.shape[0] == taps
     kern = functools.partial(
         _lpc_kernel, F=F_pad, LB=LB, taps=taps, interpret=interpret,
-        src_nb=src_nb, src_fpad=src_fpad,
+        src_nb=src_nb, src_fpad=src_fpad, forward=forward,
     )
     lane_spec = pl.BlockSpec((1, SL, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
