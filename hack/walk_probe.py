@@ -120,7 +120,7 @@ def main() -> int:
         ms = (time.time() - t0) / args.iters * 1e3
         results[probe] = ms
         extra = ""
-        if probe == "base":
+        if probe == "base" or probe.startswith("emit"):  # emitN is bit-exact
             nerr = int(np.asarray((err != 0).sum()))
             rows_np = np.asarray(rows)
             ok = all(

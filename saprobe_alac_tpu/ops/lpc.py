@@ -119,6 +119,15 @@ def _lpc_batch(res_t, order, mode, den, cb, ns, coefs, frame_length, impl, rows_
             # Direct consumption of the walk kernel's raw rows buffer: its
             # lane blocking fixes LB, and L is already whole blocks (the
             # fused layout is only selected when B % 128 == 0).
+            if res_t.shape[2] == 16:
+                # The walk runs 2048-lane blocks (SL=16) to halve its
+                # sequential grid steps, but the FIR kernel measured faster
+                # at SL=8 (1.02 vs 1.12 ms at B=2048 F=4096 on v5e).  The
+                # (P, nb, 16, 128) buffer IS (P, 2*nb, 8, 128) in linear
+                # lane order (lane = nb*2048 + sl*128 + ln), so the view is
+                # a free row-major reshape, no relayout.
+                res_t = res_t.reshape(res_t.shape[0], -1, 8, 128)
+                rows_nb *= 2
             LB = res_t.shape[2] * 128
             L_pad = L
             assert L % (rows_nb * LB) == 0, (L, rows_nb, LB)

@@ -450,8 +450,20 @@ def _walk_batch(words, size_bits, frame_length, num_channels, depth, pb, mb, kb,
         # padded to a whole lane block.
         # Full (8, 128) vregs need 1024 lanes per block; smaller blocks only
         # to bound padding waste on odd batch sizes.
+        # Ladder: widest full-vreg block that divides the batch.  2048-lane
+        # blocks (SL=16) halve the sequential grid steps vs 1024 at double
+        # the vector work per row — net ~19% off the element kernel at
+        # B=2048 F=4096 on v5e (hack/trace_top.py, device-side op time;
+        # VMEM at SL=16 stays ~9 MiB).  ALAC_LB overrides for tuning runs
+        # (honored only when it divides B — forcing a wide block onto a
+        # tiny batch pads lanes ~100x and has wedged the tunnel).
+        LB_env = int(os.environ.get("ALAC_LB", "0"))
         LB = (
-            1024
+            LB_env
+            if LB_env and B % LB_env == 0
+            else 2048
+            if B % 2048 == 0
+            else 1024
             if B % 1024 == 0
             else 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
         )

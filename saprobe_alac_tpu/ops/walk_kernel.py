@@ -56,6 +56,7 @@ enforced by tests/test_walk_kernel.py and the batch differential suites.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,11 @@ _L1_BLOCKS = 2 * _SB_BLOCKS  # 64 block rows
 #: budget, and the L1 rebuild is the only consumer).
 _CHUNK_ROWS = 64  # block rows per chunk
 _CHUNK_WORDS = _CHUNK_ROWS * _BLK
+#: Rows collected in registers per staging store (see _walk_groups): the
+#: per-row dynamic store is the largest single row cost; batching R rows
+#: into one (R, SL, 128) store amortizes it.  Probe-overridable (emitN);
+#: ALAC_EMIT_R overrides for hardware tuning runs (hack/trace_top.py).
+_EMIT_R = int(os.environ.get("ALAC_EMIT_R", "1"))
 
 #: Element-kernel metadata rows (kernel -> XLA), all absolute bit positions.
 META_ROWS = 82
@@ -324,6 +330,17 @@ def _walk_groups(
     wb_mask = (1 << kb) - 1 if kb < 32 else -1
     z = jnp.zeros((SL, 128), I32)
 
+    # Emission batching: rows staged per VMEM store.  The per-row dynamic
+    # (1, SL, 128) store is the single largest row cost on hardware
+    # (hack/walk_probe.py: nostore saves ~46%); collecting _EMIT_R rows in
+    # registers and storing one (_EMIT_R, SL, 128) block amortizes the
+    # dynamic addressing and lets Mosaic schedule across the unrolled rows.
+    R = _EMIT_R
+    for tok in ("emit1", "emit2", "emit4", "emit8"):
+        if tok in probe:
+            R = int(tok[4:])
+    assert _K_ROWS % R == 0
+
     def one_group(g, st, stage, sem, not_first):
         act, off, err, count, mean, zmode, zrem, base, sb, pbl = st
 
@@ -381,7 +398,8 @@ def _walk_groups(
             j = _sshr(off, 5)
             return [_wsel(wtab[i], j) for i in range(4)], off & 31
 
-        def row_body(k, rst):
+        def row_math(rst):
+            """One row's decode math; returns (emit, rst') — no store."""
             (act, off, err, count, mean, zmode, zrem) = rst
 
             off_row0 = off
@@ -436,14 +454,6 @@ def _walk_groups(
             else:
                 emit = jnp.where(dec == 1, delta, 0)
 
-            # Dense emission: decoded delta, raw sample, drained zero, or
-            # dummy zero.  Stored in the register-native (SL, 128) tile
-            # layout — a flat (LB,) row store would stripe one register's
-            # sublanes across lane-tiles at a single sublane, a per-row
-            # relayout shuffle.
-            if "nostore" not in probe:  # probe: cost of the staging store
-                stage[pl.ds(k, 1)] = emit[None]
-
             adv = ((dec == 1) | (zdrain == 1)).astype(I32)
             if raw is not None:
                 adv = adv | rawact
@@ -494,7 +504,7 @@ def _walk_groups(
                 mean = jnp.where(zc, 0, mean)
 
             act = act * (count < ns).astype(I32) * (err == ERR_NONE).astype(I32)
-            return act, off, err, count, mean, zmode, zrem
+            return emit, (act, off, err, count, mean, zmode, zrem)
 
         def win_at(w4, r, d):
             """win32(off+d) from the shared words, d a vector in [0, 72]."""
@@ -519,11 +529,28 @@ def _walk_groups(
                     stage, rows_ref.at[pl.ds(g * _K_ROWS, _K_ROWS), pid], sem
                 ).wait()
 
-        # fori, not a static unroll: measured identical on hardware (Mosaic
-        # schedules across the loop), and unrolling interprets ~3x slower.
+        # Dense emission: decoded delta, raw sample, drained zero, or dummy
+        # zero, staged in the register-native (SL, 128) tile layout — a
+        # flat (LB,) row store would stripe one register's sublanes across
+        # lane-tiles at a single sublane, a per-row relayout shuffle.
+        # R rows are collected in registers per (R, SL, 128) store; a fori
+        # carries the state between blocks (a full static unroll of the
+        # group measured no better and interprets ~3x slower).
+        def block_body(kb2, rst):
+            emits = []
+            for _ in range(R):
+                emit, rst = row_math(rst)
+                emits.append(emit)
+            if "nostore" not in probe:  # probe: cost of the staging store
+                if R == 1:
+                    stage[pl.ds(kb2, 1)] = emits[0][None]
+                else:
+                    stage[pl.ds(kb2 * R, R)] = jnp.stack(emits)
+            return rst
+
         rst = (act, off, err, count, mean, zmode, zrem)
         act, off, err, count, mean, zmode, zrem = jax.lax.fori_loop(
-            0, _K_ROWS, row_body, rst
+            0, _K_ROWS // R, block_body, rst
         )
 
         # Stream the staged rows to HBM at the uniform row offset (rows_ref

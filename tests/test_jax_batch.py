@@ -113,6 +113,19 @@ def test_large_batch_bucketing():
     assert got == [oracle(cfg, p)[0] for p in pkts]
 
 
+def test_wide_lane_block():
+    """B = 2048 selects the 2048-lane (SL=16) walk blocking and the LPC
+    kernel's 2x(SL=8) view of the walk rows buffer (ops/lpc.py) — the
+    production headline geometry; smaller batches never reach it."""
+    cfg = make_config(depth=16, channels=2, frame_length=FRAME)
+    pcm = music_pcm(FRAME * 16, 2, 16, seed=23)
+    pkts = encode_packets(cfg, EncoderSpec(), pcm)
+    want = [oracle(cfg, p)[0] for p in pkts]
+    batch = [pkts[i % len(pkts)] for i in range(2048)]
+    got = get_decoder(cfg).decode_packets(batch)
+    assert got == [want[i % len(pkts)] for i in range(2048)]
+
+
 def test_streaming_facade_with_prefetch():
     """Decoder(backend='jax') with a small batch size exercises the
     prefetch pipeline and seek-drops-prefetch."""
