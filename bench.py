@@ -563,7 +563,7 @@ def main() -> int:
     # bug visible in the committed artifact.  Median of 5, one retry (the
     # tunnel hiccups).
     small = batch[:32]
-    dec.decode_packets(small)
+    small_out = dec.decode_packets(small)
 
     def _warm_b32():
         ts = []
@@ -574,7 +574,21 @@ def main() -> int:
         return statistics.median(ts)
 
     lat_b32 = _warm_b32()
-    lat_budget = max(5 * rtt, 0.075)
+    # Tunnel weather drifts within a run (observed H2D 56 -> 8 MB/s in one
+    # session), so the budget's link terms are measured NOW, not at run
+    # start: a fresh RTT plus the small batch's real bytes at a fresh
+    # 1/8-size link probe.  The gate then trips on facade software
+    # regressions (its purpose — round 2 hid a ~1 s one) rather than on
+    # mid-run link degradation the facade cannot control.
+    rtt_now = measure_rtt()
+    h2d_now, d2h_now = sustained_link(
+        flat_np[: max(1, flat_np.shape[0] // 8)],
+        warm_out[: max(1, warm_out.shape[0] // 8)],
+    )
+    sm_bytes_up = sum(len(p) for p in small)
+    sm_bytes_down = sum(len(o) for o in small_out)
+    t_xfer = sm_bytes_up / (h2d_now * 1e6) + sm_bytes_down / (d2h_now * 1e6)
+    lat_budget = max(5 * rtt_now + t_xfer, 0.075)
     lat_ok = lat_b32 < lat_budget
     if not lat_ok:
         log(f"warm B=32 {lat_b32*1e3:.1f} ms over budget "
@@ -689,10 +703,14 @@ def main() -> int:
             coefs_arr[0, :6] = [160, 80, 40, 20, 10, 5]
 
             def enc_fn(p, n_):
+                # enc_impl="auto" = the production selection (Pallas
+                # dense-emission kernel on TPU) — the facade's default;
+                # encode_walk's own default is the conservative "xla".
                 return encode_walk(
                     p, n_, jnp.full(BATCH, 1, jnp.int32), jnp.asarray(coefs_arr),
                     FRAME, 2, 16, cfg.pb, cfg.mb, cfg.kb,
                     elem_specs, 1, 0, False, False, True,
+                    enc_impl="auto",
                 )
 
             evars = []
@@ -701,8 +719,13 @@ def main() -> int:
                     (jnp.asarray(np.roll(planes, v, axis=0)), jnp.asarray(ns_arr))
                 )
             jax.block_until_ready([b for pair in evars for b in pair])
+            # encode_walk returns (words, bit_len, ovf_any) — fold ALL of
+            # them into the checksum so the dispatch chain can't dead-code
+            # any output.
             ecsum = jax.jit(
-                lambda w, b: jnp.sum(w.astype(jnp.int32)) + jnp.sum(b)
+                lambda w, b, ovf: jnp.sum(w.astype(jnp.int32))
+                + jnp.sum(b)
+                + jnp.sum(ovf.astype(jnp.int32))
             )
             np.asarray(ecsum(*enc_fn(*evars[0])))  # warm (incl. compile)
             # Wall-clock budget the row (VERDICT r4 weak #1: at ~21 s/batch
